@@ -1,0 +1,7 @@
+#!/bin/bash
+# Run the test suite on local CPU (8 virtual devices, x64).
+# PALLAS_AXON_POOL_IPS must be cleared *before* the interpreter starts:
+# the baked sitecustomize otherwise registers the (single-claim, remote)
+# TPU backend in every python process and blocks on the device grant.
+exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python -m pytest tests/ "${@:--x -q}"

@@ -1,0 +1,199 @@
+"""Gibbs step and chain tests: deterministic pieces against the reference
+oracle, stochastic pieces distributionally, plus scan/chunking mechanics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydra_pspec_tpu.models import gcr, gibbs
+from hydra_pspec_tpu.ops.fourier import cfft
+import reference_impl as ref
+
+RNG = np.random.default_rng(11)
+
+
+def crandn(*shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)) / np.sqrt(2)
+
+
+def small_problem(ntimes=13, nfreqs=16, nmodes=3):
+    d = crandn(ntimes, nfreqs) * 2.0
+    w = np.ones(nfreqs)
+    w[4] = 0.0
+    fg = crandn(nfreqs, nmodes)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    ps = np.abs(RNG.standard_normal(nfreqs)) * 5.0 + 0.1
+    prior = np.zeros((2, nfreqs))
+    return d, w, fg, ninv, ps, prior
+
+
+def test_diagnostics_match_reference():
+    """chisq and ln_post computed from a given realization must match the
+    reference formulas (boolean masking vs our multiplicative masking)."""
+    d, w, fg, ninv, ps, _ = small_problem()
+    ntimes, nfreqs = d.shape
+    omega_a = crandn(ntimes, nfreqs)
+    omega_b = crandn(ntimes, nfreqs)
+    ops = gcr.build_chain_operators(d, w, fg, ninv)
+    res = gcr.gcr_solve(ops, jnp.asarray(ps), jnp.asarray(omega_a), jnp.asarray(omega_b))
+    sig = np.asarray(res.signal_cr)
+    amps = np.asarray(res.fg_amps)
+
+    ps_sample = np.abs(RNG.standard_normal(nfreqs)) * 3.0 + 0.2
+    chisq_ref, lnpost_ref = ref.chisq_and_lnpost(
+        d * w, w, sig, amps, fg, ninv, ps_sample
+    )
+
+    # Reproduce the in-step computation with the sample injected.
+    model = sig + amps @ fg.T
+    resid = np.asarray(ops.d_w) - model
+    chisq = np.abs(resid) ** 2 * ninv
+    noise_term = np.sum((w * ninv * w) * np.abs(resid) ** 2)
+    sk_masked = np.asarray(cfft(jnp.asarray(sig * w), axis=-1))
+    sig_term = np.sum(np.abs(sk_masked) ** 2 / ps_sample)
+    ln_post = -(noise_term + sig_term)
+
+    np.testing.assert_allclose(chisq, chisq_ref, atol=1e-10)
+    assert ln_post == pytest.approx(lnpost_ref, rel=1e-9)
+
+
+def test_initial_ps_identity_covariance():
+    from hydra_pspec_tpu.ops.fourier import fourier_operator, covariance_from_pspec
+
+    n = 16
+    F = fourier_operator(n)
+    ps0 = gibbs.initial_ps(np.eye(n), F)
+    # S_initial = I maps to a flat spectrum that reconstructs I exactly
+    # (state convention: S = F^H diag(ps / n^2) F).
+    S_back = covariance_from_pspec(ps0 / n**2, F)
+    np.testing.assert_allclose(np.asarray(S_back), np.eye(n), atol=1e-10)
+
+
+def test_initial_ps_delay_diagonal_covariance_roundtrip():
+    n = 16
+    ps_true = np.abs(RNG.standard_normal(n)) + 0.5
+    F = ref.fourier_operator(n)
+    S = ref.covariance_from_pspec(ps_true / n**2, F)
+    ps0 = np.asarray(gibbs.initial_ps(S, jnp.asarray(F)))
+    np.testing.assert_allclose(ps0, ps_true, rtol=1e-9)
+
+
+def test_step_runs_and_is_deterministic():
+    d, w, fg, ninv, ps, prior = small_problem()
+    ops = gcr.build_chain_operators(d, w, fg, ninv)
+    key = jax.random.key(3)
+    ps1a, s_a = gibbs.gibbs_step(key, jnp.asarray(ps), ops, jnp.asarray(prior))
+    ps1b, s_b = gibbs.gibbs_step(key, jnp.asarray(ps), ops, jnp.asarray(prior))
+    np.testing.assert_array_equal(np.asarray(ps1a), np.asarray(ps1b))
+    np.testing.assert_array_equal(np.asarray(s_a.signal_cr), np.asarray(s_b.signal_cr))
+    assert np.all(np.asarray(ps1a) > 0)
+    assert np.isfinite(float(s_a.ln_post))
+
+
+def test_chain_scan_matches_sequential_steps():
+    d, w, fg, ninv, ps, prior = small_problem()
+    ops = gcr.build_chain_operators(d, w, fg, ninv)
+    key = jax.random.key(5)
+    niter = 4
+    ps_final, samples = gibbs.run_chain(
+        key, ops, jnp.asarray(ps), jnp.asarray(prior), niter
+    )
+    # Sequential replay with the same fold_in schedule.
+    p = jnp.asarray(ps)
+    for i in range(niter):
+        p, s = gibbs.gibbs_step(jax.random.fold_in(key, i), p, ops, jnp.asarray(prior))
+        np.testing.assert_allclose(
+            np.asarray(samples.ps[i]), np.asarray(s.ps), rtol=1e-12
+        )
+    np.testing.assert_allclose(np.asarray(ps_final), np.asarray(p), rtol=1e-12)
+
+
+def test_chain_store_cr_false_matches_ps_trace():
+    d, w, fg, ninv, ps, prior = small_problem()
+    ops = gcr.build_chain_operators(d, w, fg, ninv)
+    key = jax.random.key(9)
+    _, full = gibbs.run_chain(key, ops, jnp.asarray(ps), jnp.asarray(prior), 3)
+    _, lean = gibbs.run_chain(
+        key, ops, jnp.asarray(ps), jnp.asarray(prior), 3, store_cr=False
+    )
+    np.testing.assert_allclose(np.asarray(full.ps), np.asarray(lean.ps), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(full.ln_post), np.asarray(lean.ln_post), rtol=1e-12
+    )
+
+
+def test_map_estimate_matches_reference_map():
+    """MAP mode: omegas are zero, so the signal CR is deterministic and
+    must equal the reference system's exact solution."""
+    d, w, fg, ninv, ps, prior = small_problem()
+    ntimes, nfreqs = d.shape
+    ops = gcr.build_chain_operators(d, w, fg, ninv)
+    _, s = gibbs.gibbs_step(
+        jax.random.key(0), jnp.asarray(ps), ops, jnp.asarray(prior),
+        map_estimate=True,
+    )
+    zeros = np.zeros((ntimes, nfreqs), dtype=complex)
+    sig_ref, amps_ref = (
+        lambda F: ref.gcr_solve_direct(
+            ref.build_matrices(
+                w, ref.covariance_from_pspec(ps / nfreqs**2, F), np.diag(ninv), fg
+            ),
+            fg, d * w, zeros, zeros,
+        )
+    )(ref.fourier_operator(nfreqs))
+    np.testing.assert_allclose(np.asarray(s.signal_cr), sig_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s.fg_amps), amps_ref, atol=1e-8)
+
+
+def test_gibbs_sample_with_fg_api(tmp_path):
+    d, w, fg, ninv, ps, prior = small_problem()
+    nfreqs = d.shape[1]
+    out = gibbs.gibbs_sample_with_fg(
+        d, w, np.eye(nfreqs), fg, np.diag(ninv), prior,
+        Niter=5, seed=42, verbose=False, write_Niter=2, out_dir=tmp_path,
+    )
+    signal_cr, signal_S, signal_ps, fg_amps, chisq, ln_post, wt = out
+    assert signal_cr.shape == (5,) + d.shape
+    assert signal_ps.shape == (5, nfreqs)
+    assert signal_S.shape == (nfreqs, nfreqs)
+    assert ln_post.shape == (5,)
+    # Reference-named outputs exist for the validation plotter.
+    for name in ("gcr-eor.npy", "dps-eor.npy", "ln-post.npy", "chisq.npy"):
+        assert (tmp_path / name).exists()
+    assert np.load(tmp_path / "dps-eor.npy").shape == (5, nfreqs)
+
+
+def test_chain_stationary_distribution_white_noise():
+    """End-to-end statistical check on a tiny synthetic problem: data =
+    signal + noise with known flat spectrum; posterior bandpower mean must
+    land near truth within Monte-Carlo error."""
+    ntimes, nfreqs = 64, 8
+    key = jax.random.key(123)
+    sig_var, noise_var = 4.0, 0.25
+    k1, k2 = jax.random.split(key)
+    sig = jax.random.normal(k1, (ntimes, nfreqs), dtype=jnp.complex128) * np.sqrt(sig_var)
+    noise = jax.random.normal(k2, (ntimes, nfreqs), dtype=jnp.complex128) * np.sqrt(noise_var)
+    d = sig + noise
+    w = np.ones(nfreqs)
+    fg = np.zeros((nfreqs, 1), dtype=complex)
+    fg[:, 0] = 1.0 / np.sqrt(nfreqs)  # single flat mode; amplitude ~ mean
+    ninv = np.full(nfreqs, 1.0 / noise_var)
+    prior = np.zeros((2, nfreqs))
+
+    ops = gcr.build_chain_operators(np.asarray(d), w, fg, ninv)
+    ps0 = jnp.full((nfreqs,), sig_var * nfreqs)  # flat initial spectrum
+    _, samples = gibbs.run_chain(
+        jax.random.key(7), ops, ps0, jnp.asarray(prior), 400, store_cr=False
+    )
+    ps = np.asarray(samples.ps)[100:]  # burn-in
+    # E[|sk|^2] per delay bin = Nfreqs * sig_var (unnormalized FFT).
+    truth = nfreqs * sig_var
+    mean_ps = ps.mean(axis=0)
+    # The flat FG mode is exactly degenerate with the delay-0 bin, whose
+    # bandpower is therefore prior-dominated (the degeneracy the reference's
+    # ps_prior window exists for, run-hydra-pspec.py:504-517) — exclude it.
+    keep = np.arange(nfreqs) != nfreqs // 2
+    # MC tolerance: generous 3-sigma-ish band.
+    assert np.all(mean_ps[keep] > truth * 0.7), mean_ps / truth
+    assert np.all(mean_ps[keep] < truth * 1.4), mean_ps / truth
+    assert np.all(np.isfinite(mean_ps))
