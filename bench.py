@@ -1,0 +1,165 @@
+"""Benchmark: Gibbs iterations/s at 100 baselines on one chip, versus the
+reference implementation's CPU speed (BASELINE.md: the reference publishes
+no absolute numbers, so the same-hardware CPU measurement is produced here
+with a faithful NumPy/SciPy implementation of the reference algorithm —
+per-time preconditioned CG, per-iteration sqrtm/pinv, scipy invgamma).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is our iterations/s at 100 concurrently-advancing baselines
+divided by the reference's single-rank iterations/s on this host's CPU —
+the reference runs one baseline per MPI rank (1 CPU each), so at >=100
+cores its 100-baseline wall-clock equals the single-baseline single-rank
+time (strong-scaling fixture, scaling_tests_README.md:53-60). North star:
+>= 50x (BASELINE.json).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+N_BASELINES = int(os.environ.get("BENCH_BASELINES", "100"))
+N_ITER = int(os.environ.get("BENCH_ITERS", "20"))
+CPU_CACHE = REPO / ".bench_cpu_baseline.json"
+
+
+def load_problem():
+    from hydra_pspec_tpu.utils.uvh5 import read_uvh5
+
+    td = Path("/root/reference/test_data")
+    bls, _ = read_uvh5(td / "vis-eor-fgs.uvh5")
+    d = bls[0].vis + np.load(td / "0-1" / "noise.npy")
+    noise_cov = np.load(td / "0-1" / "noise-cov.npy")
+    fgmodes = np.load(td / "0-1" / "fgmodes.npy")[:, :12]
+    eor_cov = np.load(td / "0-1" / "eor-cov.npy")
+    nfreqs = d.shape[1]
+    w = np.ones(nfreqs)
+    ninv_diag = 1.0 / np.diagonal(noise_cov)
+    prior = np.zeros((2, nfreqs))
+    prior[0, nfreqs // 2 - 3 : nfreqs // 2 + 4] = 2.0
+    prior[1, nfreqs // 2 - 3 : nfreqs // 2 + 4] = 0.1
+    return d, w, fgmodes, eor_cov, ninv_diag, prior
+
+
+def measure_reference_cpu(d, w, fgmodes, eor_cov, ninv_diag, prior, niters=2):
+    """Seconds per Gibbs iteration for ONE baseline with the reference
+    algorithm (build_matrices + per-time CG + bandpower draw + diagnostics).
+    """
+    import reference_impl as ref
+    from scipy.stats import invgamma
+
+    nfreqs = d.shape[1]
+    rng = np.random.default_rng(0)
+    F = ref.fourier_operator(nfreqs)
+    S = eor_cov.copy()
+    d_w = d * w
+    times = []
+    for it in range(niters):
+        t0 = time.perf_counter()
+        mats = ref.build_matrices(w, S, np.diag(ninv_diag), fgmodes)
+        ntimes = d.shape[0]
+        oa = (rng.standard_normal((ntimes, nfreqs)) + 1j * rng.standard_normal((ntimes, nfreqs))) / np.sqrt(2)
+        ob = (rng.standard_normal((ntimes, nfreqs)) + 1j * rng.standard_normal((ntimes, nfreqs))) / np.sqrt(2)
+        signal_cr, fg_amps = ref.gcr_solve_cg(mats, fgmodes, d_w, oa, ob)
+        beta, alpha = ref.sample_S_beta_alpha(signal_cr)
+        ps = np.empty(nfreqs)
+        for k in range(nfreqs):
+            if prior[0, k] > 0 or prior[1, k] > 0:
+                ps[k] = ref.truncated_invgamma_oracle(
+                    rng.uniform(), alpha + 1, beta[k], prior[1, k], prior[0, k]
+                )
+            else:
+                ps[k] = invgamma.rvs(a=alpha, random_state=rng) * beta[k]
+        _chisq, _lnp = ref.chisq_and_lnpost(
+            d_w, w, signal_cr, fg_amps, fgmodes, np.diag(ninv_diag), ps
+        )
+        S = ref.covariance_from_pspec(ps / nfreqs**2, F)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def get_cpu_baseline(problem):
+    if CPU_CACHE.exists() and not os.environ.get("BENCH_REMEASURE"):
+        return json.loads(CPU_CACHE.read_text())["sec_per_iter"]
+    sec = measure_reference_cpu(*problem)
+    CPU_CACHE.write_text(json.dumps({"sec_per_iter": sec, "host": os.uname().nodename}))
+    return sec
+
+
+def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
+    import jax
+    import jax.numpy as jnp
+
+    from hydra_pspec_tpu.models import gcr, gibbs
+
+    d, w, fgmodes, eor_cov, ninv_diag, prior = problem
+    dtype = jnp.complex64
+    ops1 = gcr.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
+    ps0 = gibbs.initial_ps(eor_cov.astype(np.complex64), ops1.fourier_op)
+
+    ops_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_baselines,) + x.shape), ops1)
+    ops_b = ops_b._replace(fourier_op=ops1.fourier_op)
+    ps_b = jnp.broadcast_to(ps0, (n_baselines,) + ps0.shape)
+    keys = jax.random.split(jax.random.key(0), n_baselines)
+    prior_j = jnp.asarray(prior, dtype=jnp.float32)
+
+    axes = jax.tree.map(lambda _: 0, ops_b)._replace(fourier_op=None)
+    fn = jax.jit(
+        jax.vmap(gibbs.run_chain, in_axes=(0, axes, 0, None, None, None, None, None)),
+        static_argnums=(4, 5, 6, 7),
+    )
+
+    # Warm-up / compile.
+    out = fn(keys, ops_b, ps_b, prior_j, 2, False, 0.0, True)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    ps_f, samples = fn(keys, ops_b, ps_b, prior_j, niter, False, 0.0, True)
+    jax.block_until_ready((ps_f, samples.ps, samples.ln_post))
+    wall = time.perf_counter() - t0
+
+    # Sanity: the sampler must remain statistically consistent (chi^2 ~ 1).
+    chi = float(jnp.mean(samples.chisq[:, -5:]))
+    assert np.isfinite(chi), "non-finite chi^2 in bench run"
+    print(f"[bench] chi^2 sanity: {chi:.4f} (want ~1)", file=sys.stderr)
+    return wall / niter, chi
+
+
+def main():
+    problem = load_problem()
+    print(f"[bench] measuring reference CPU baseline...", file=sys.stderr)
+    ref_sec_per_iter = get_cpu_baseline(problem)
+    print(f"[bench] reference: {ref_sec_per_iter:.3f} s/iter (1 baseline, CPU)",
+          file=sys.stderr)
+
+    print(f"[bench] measuring ours: {N_BASELINES} baselines x {N_ITER} iters...",
+          file=sys.stderr)
+    sec_per_iter, chi = measure_ours(problem)
+    ours_its = 1.0 / sec_per_iter            # iterations/s with all baselines advancing
+    ref_its = 1.0 / ref_sec_per_iter         # reference: 100 ranks advance together
+    result = {
+        "metric": f"gibbs_iterations_per_s_{N_BASELINES}bl_1chip",
+        "value": round(ours_its, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(ours_its / ref_its, 2),
+        "detail": {
+            "ref_cpu_sec_per_iter_1bl": round(ref_sec_per_iter, 4),
+            "ours_sec_per_iter_batch": round(sec_per_iter, 4),
+            "baseline_iters_per_s": round(ours_its * N_BASELINES, 1),
+            "chisq_sanity": round(chi, 4),
+            "niter": N_ITER,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,13 +98,23 @@ def resolve_per_baseline(path, per_file, bl_str, default_name=None):
     """Resolve a per-baseline aux input: ``path`` may be a single file
     (shared by all baselines) or a directory containing
     ``<ant1>-<ant2>/<per_file>`` (reference convention,
-    run-hydra-pspec.py:379-391)."""
+    run-hydra-pspec.py:379-391).
+
+    Compatibility fallback: when ``path`` names a non-existent file but
+    ``<parent>/<bl_str>/<filename>`` exists, that per-baseline file is used
+    — the reference's bundled test_data/config.yaml points at
+    ``./noise.npy`` etc. while the files actually live in ``0-1/``."""
     if path is None:
         return None
-    is_dir, data = check_load_path(path)
+    p = Path(path)
+    if not p.exists():
+        alt = p.parent / bl_str / p.name
+        if alt.exists():
+            return np.load(alt)
+    is_dir, data = check_load_path(p)
     if not is_dir:
         return data
     name = per_file or default_name
     if name is None:
         raise ValueError(f"Need a filename for per-baseline directory {path}")
-    return np.load(Path(path) / bl_str / name)
+    return np.load(p / bl_str / name)

@@ -56,7 +56,7 @@ def save_checkpoint(out_dir, *, iteration, ps, key_data, extra=None):
     resume path (SURVEY.md §5.4)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    tmp = out_dir / (CHECKPOINT_FILE + ".tmp")
+    tmp = out_dir / ("tmp-" + CHECKPOINT_FILE)  # .npz suffix kept: np.savez appends it otherwise
     np.savez(
         tmp,
         iteration=np.asarray(iteration),
