@@ -95,34 +95,45 @@ def get_cpu_baseline(problem):
 
 
 def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
+    """Time the real-pair (TPU) engine on a batch of baselines."""
     import jax
     import jax.numpy as jnp
 
-    from hydra_pspec_tpu.models import gcr, gibbs
+    from hydra_pspec_tpu.models import rgibbs
+    import reference_impl as ref
 
     d, w, fgmodes, eor_cov, ninv_diag, prior = problem
-    dtype = jnp.complex64
-    ops1 = gcr.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
-    ps0 = gibbs.initial_ps(eor_cov.astype(np.complex64), ops1.fourier_op)
+    dtype = jnp.float32
+    ops1 = rgibbs.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
+    # initial ps from the covariance — host-side numpy (the TPU backend has
+    # no complex support; all complex prep stays on the host)
+    n = d.shape[1]
+    F = ref.fourier_operator(n)
+    ps0 = np.clip(np.diagonal(F @ eor_cov @ F.conj().T).real, 0, None).astype(np.float32)
+    ps0 = jnp.asarray(ps0)
 
     ops_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_baselines,) + x.shape), ops1)
-    ops_b = ops_b._replace(fourier_op=ops1.fourier_op)
+    ops_b = ops_b._replace(f=ops1.f)
     ps_b = jnp.broadcast_to(ps0, (n_baselines,) + ps0.shape)
     keys = jax.random.split(jax.random.key(0), n_baselines)
     prior_j = jnp.asarray(prior, dtype=jnp.float32)
 
-    axes = jax.tree.map(lambda _: 0, ops_b)._replace(fourier_op=None)
+    prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
+    axes = jax.tree.map(lambda _: 0, ops_b)._replace(f=None)
     fn = jax.jit(
-        jax.vmap(gibbs.run_chain, in_axes=(0, axes, 0, None, None, None, None, None)),
+        jax.vmap(
+            rgibbs.run_chain,
+            in_axes=(0, axes, 0, None, None, None, None, None, None),
+        ),
         static_argnums=(4, 5, 6, 7),
     )
 
     # Warm-up / compile.
-    out = fn(keys, ops_b, ps_b, prior_j, 2, False, 0.0, True)
+    out = fn(keys, ops_b, ps_b, prior_j, 2, False, 0.0, True, prior_idx)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    ps_f, samples = fn(keys, ops_b, ps_b, prior_j, niter, False, 0.0, True)
+    ps_f, samples = fn(keys, ops_b, ps_b, prior_j, niter, False, 0.0, True, prior_idx)
     jax.block_until_ready((ps_f, samples.ps, samples.ln_post))
     wall = time.perf_counter() - t0
 

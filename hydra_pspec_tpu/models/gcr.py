@@ -52,9 +52,10 @@ class ChainOperators(NamedTuple):
     fgmodes: jax.Array
     fourier_op: jax.Array
     noise: NoiseOperators
-    ni_d: jax.Array               # Ni @ d_w, (Ntimes, Nfreqs) — constant
+    ni_d: jax.Array               # Ni @ (d_w - Fg a0), FG-deflated — constant
     ni_fg: jax.Array              # Ni @ fgmodes, (Nfreqs, Nmodes) — constant
     maa: jax.Array                # F^H Ni F, (Nmodes, Nmodes) — constant
+    a0: jax.Array                 # (Ntimes, Nmodes) GLS FG amplitude shift
 
 
 def build_chain_operators(vis, w, fgmodes, ninv, dtype=None) -> ChainOperators:
@@ -79,15 +80,21 @@ def build_chain_operators(vis, w, fgmodes, ninv, dtype=None) -> ChainOperators:
         None if noise.nih_dense is None else noise.nih_dense.astype(dtype),
     )
     d_w = (vis * w).astype(dtype)
-    ni_d = noise.apply_ni(d_w)
     ni_fg = (
         noise.ni_diag[:, None] * fg
         if noise.is_diagonal
         else noise.ni_dense @ fg
     )
     maa = fg.conj().T @ ni_fg
+    # FG deflation (exact reparameterization): solve for amplitudes
+    # relative to the GLS foreground fit a0 so the solution vector's
+    # components are comparable in magnitude — in reduced precision the
+    # norm-wise solve error otherwise lands on the small EoR components.
+    rhs0 = fg.conj().T @ noise.apply_ni(d_w).T
+    a0 = jnp.linalg.lstsq(maa, rhs0)[0].T
+    ni_d = noise.apply_ni(d_w - a0 @ fg.T)
     fop = fourier_operator(nfreqs, dtype=dtype)
-    return ChainOperators(d_w, w, fg, fop, noise, ni_d, ni_fg, maa)
+    return ChainOperators(d_w, w, fg, fop, noise, ni_d, ni_fg, maa, a0)
 
 
 def signal_sqrt_operator(ops: ChainOperators, ps: jax.Array) -> jax.Array:
@@ -156,4 +163,4 @@ def gcr_solve(
     u = x[:nfreqs]
     amps = x[nfreqs:]
     signal = (sh @ u).T
-    return GCRResult(signal_cr=signal, fg_amps=amps.T)
+    return GCRResult(signal_cr=signal, fg_amps=amps.T + ops.a0)

@@ -54,6 +54,7 @@ def gibbs_step(
     ps_prior: jax.Array,
     map_estimate: bool = False,
     jitter: float = 0.0,
+    prior_idx=None,
 ) -> tuple[jax.Array, GibbsSample]:
     """One full Gibbs alternation (reference pspec.py:377-490):
       1. GCR draw of signal + FG amplitudes given ps,
@@ -86,7 +87,7 @@ def gibbs_step(
     # (pspec.py:462). The (Ntimes - 1) complex-data alpha convention and the
     # truncated-prior handling live in ops/invgamma.py.
     sk = cfft(signal_cr, axis=-1)
-    ps_new = sample_bandpowers(k_ps, sk, ps_prior.astype(rdtype))
+    ps_new = sample_bandpowers(k_ps, sk, ps_prior.astype(rdtype), prior_idx)
 
     # Log posterior under the *new* covariance sample (pspec.py:472-485).
     # Boolean submatrix indexing becomes multiplicative masking (identical
@@ -144,6 +145,7 @@ def run_chain(
     map_estimate: bool = False,
     jitter: float = 0.0,
     store_cr: bool = True,
+    prior_idx=None,
 ):
     """Run ``niter`` Gibbs iterations as a ``lax.scan``.
 
@@ -159,7 +161,7 @@ def run_chain(
     def body(ps, i):
         ps_new, s = gibbs_step(
             jax.random.fold_in(key, i), ps, ops, ps_prior,
-            map_estimate=map_estimate, jitter=jitter,
+            map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
         )
         if not store_cr:
             s = GibbsSample(

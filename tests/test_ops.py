@@ -175,3 +175,43 @@ class TestLinalg:
         b = crandn(n, k)
         x = np.asarray(hla.cholesky_solve(jnp.asarray(m), jnp.asarray(b)))
         np.testing.assert_allclose(m @ x, b, atol=1e-10)
+
+
+class TestInvGammaTable:
+    def test_table_sampler_matches_grid_sampler(self):
+        from hydra_pspec_tpu.ops.invgamma import (
+            make_invgamma_table, truncated_invgamma_sample,
+            truncated_invgamma_sample_table,
+        )
+
+        alpha = 203.0
+        table = make_invgamma_table(alpha, dtype=jnp.float64)
+        beta = np.array([150.0, 80.0, 400.0])
+        lo = np.array([0.1, 0.5, 1.0])
+        hi = np.array([2.0, 3.0, 4.0])
+        for u in (0.02, 0.5, 0.97):
+            uu = np.full(3, u)
+            a = np.asarray(truncated_invgamma_sample(uu, alpha, beta, lo, hi))
+            b = np.asarray(
+                truncated_invgamma_sample_table(
+                    jnp.asarray(uu), jnp.asarray(beta), jnp.asarray(lo),
+                    jnp.asarray(hi), table,
+                )
+            )
+            np.testing.assert_allclose(a, b, rtol=2e-3)
+
+    def test_table_respects_bounds(self):
+        from hydra_pspec_tpu.ops.invgamma import (
+            make_invgamma_table, truncated_invgamma_sample_table,
+        )
+
+        table = make_invgamma_table(203.0, dtype=jnp.float64)
+        u = np.linspace(0.001, 0.999, 31)
+        x = np.asarray(
+            truncated_invgamma_sample_table(
+                jnp.asarray(u), jnp.asarray(150.0), jnp.asarray(0.1),
+                jnp.asarray(2.0), table,
+            )
+        )
+        assert np.all(x >= 0.1) and np.all(x <= 2.0)
+        assert np.all(np.diff(x) >= -1e-9)  # monotone in u
