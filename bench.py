@@ -103,6 +103,7 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     import reference_impl as ref
 
     d, w, fgmodes, eor_cov, ninv_diag, prior = problem
+    solver = os.environ.get("BENCH_SOLVER", "auto")
     dtype = jnp.float32
     ops1 = rgibbs.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
     # initial ps from the covariance — host-side numpy (the TPU backend has
@@ -110,35 +111,31 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     n = d.shape[1]
     F = ref.fourier_operator(n)
     ps0 = np.clip(np.diagonal(F @ eor_cov @ F.conj().T).real, 0, None).astype(np.float32)
-    ps0 = jnp.asarray(ps0)
 
-    ops_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_baselines,) + x.shape), ops1)
-    ops_b = ops_b._replace(f=ops1.f)
-    ps_b = jnp.broadcast_to(ps0, (n_baselines,) + ps0.shape)
-    keys = jax.random.split(jax.random.key(0), n_baselines)
+    ops_b = rgibbs.broadcast_chain_operators(ops1, n_baselines)
+    ps_b = jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n))
     prior_j = jnp.asarray(prior, dtype=jnp.float32)
-
     prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
-    axes = jax.tree.map(lambda _: 0, ops_b)._replace(f=None)
-    fn = jax.jit(
-        jax.vmap(
-            rgibbs.run_chain,
-            in_axes=(0, axes, 0, None, None, None, None, None, None),
-        ),
-        static_argnums=(4, 5, 6, 7),
-    )
 
-    # Warm-up / compile.
-    out = fn(keys, ops_b, ps_b, prior_j, 2, False, 0.0, True, prior_idx)
-    jax.block_until_ready(out)
+    fn = rgibbs.run_chain_jit
 
+    def once(rep, it):
+        ps_f, samples = fn(
+            jax.random.fold_in(jax.random.key(0), rep), ops_b, ps_b, prior_j,
+            it, False, 0.0, True, prior_idx, solver,
+        )
+        # Force full dependency chain: block_until_ready on this backend's
+        # remote buffers can return before execution completes.
+        chi = float(jnp.mean(samples.chisq[-5:]))
+        lnp = float(jnp.sum(samples.ln_post))
+        return chi, lnp
+
+    once(99, 2)  # warm-up separate executable
+    once(98, niter)  # compile the timed executable outside the timing
     t0 = time.perf_counter()
-    ps_f, samples = fn(keys, ops_b, ps_b, prior_j, niter, False, 0.0, True, prior_idx)
-    jax.block_until_ready((ps_f, samples.ps, samples.ln_post))
+    chi, _ = once(0, niter)
     wall = time.perf_counter() - t0
 
-    # Sanity: the sampler must remain statistically consistent (chi^2 ~ 1).
-    chi = float(jnp.mean(samples.chisq[:, -5:]))
     assert np.isfinite(chi), "non-finite chi^2 in bench run"
     print(f"[bench] chi^2 sanity: {chi:.4f} (want ~1)", file=sys.stderr)
     return wall / niter, chi

@@ -1,14 +1,25 @@
-"""Real-pair (TPU) execution engine for the Gibbs sampler.
+"""Real-pair (TPU) execution engine for the Gibbs sampler — batch-first.
 
-Same math as models/gcr.py + models/gibbs.py — the whitened Hermitian GCR
-system, analytic signal square roots, inverse-gamma bandpower draws — but
-every complex quantity is a ``C(re, im)`` float32 pair (ops/cplx.py) and
-the HPD solve is a Cholesky of the real symmetric embedding. This is the
-engine production TPU runs use; the complex engine remains the readable
-spec and the CPU/x64 parity path. Exact agreement between the two (float64,
-same keys) is pinned by tests/test_rgibbs.py.
+Same math as models/gcr.py + models/gibbs.py (the whitened Hermitian GCR
+system, analytic signal square roots, inverse-gamma bandpower draws) with
+three TPU-specific design decisions:
 
-Reference semantics being implemented: hydra_pspec/pspec.py:151-490.
+  * every complex quantity is a ``C(re, im)`` float32 pair (ops/cplx.py) —
+    the axon TPU backend exposes no complex dtypes, and TPU hardware has no
+    complex ALU anyway;
+  * the (baseline x chain) batch is an *explicit leading axis* on every
+    array rather than a vmap transform, so the hot Hermitian solve hits the
+    fused Pallas kernel (ops/pallas/spd_solve.py) as one whole-batch call
+    (vmap would split it into per-chain programs);
+  * the constant foreground block is eliminated by an exact Schur
+    reduction before the solve, shrinking it from Nfreqs+Nmodes to Nfreqs
+    (embedded real size 240 = TPU-lane-friendly for the reference data).
+
+The complex engine (models/gibbs.py) remains the readable spec and the
+CPU/x64 parity path; exact agreement between the two at float64 is pinned
+by tests/test_rgibbs.py.
+
+Reference semantics implemented: hydra_pspec/pspec.py:151-490.
 """
 from typing import NamedTuple, Optional
 
@@ -23,29 +34,33 @@ from ..ops.invgamma import (InvGammaTable, make_invgamma_table,
 
 
 class RChainOperators(NamedTuple):
-    """Per-chain constants, real-pair form. Built host-side (numpy) once
-    per chain — only the per-iteration step must run on the TPU."""
+    """Per-chain constants, real-pair form, with a leading batch axis B
+    (build one per baseline/chain with :func:`build_chain_operators`, then
+    :func:`stack_chain_operators`). Built host-side (numpy float64) once —
+    only the per-iteration step runs on the TPU.
 
-    d_w: C            # (Ntimes, Nfreqs) masked visibilities
-    w: jax.Array      # (Nfreqs,) flags
-    fg: C             # (Nfreqs, Nmodes)
-    f: C              # (Nfreqs, Nfreqs) centered DFT operator
-    ni_diag: jax.Array
-    nih_diag: jax.Array
-    ninv_full_diag: jax.Array
-    ni_d: C           # Ni @ (d_w - Fg a0) — FG-deflated (constant)
-    ni_fg: C          # Ni @ fg (constant)
-    maa: C            # fg^H Ni fg (constant)
-    a0: C             # (Ntimes, Nmodes) host GLS foreground amplitudes
-    igt: InvGammaTable  # tabulated Q(Ntimes, y) for truncated draws
+    ``f`` (the centered DFT operator) and ``igt`` (the inverse-gamma CDF
+    table) are shared across the batch and stay unbatched."""
+
+    d_w: C            # (B, Ntimes, Nfreqs) masked visibilities
+    w: jax.Array      # (B, Nfreqs) flags
+    f: C              # (Nfreqs, Nfreqs) centered DFT operator — shared
+    ni_diag: jax.Array       # (B, Nfreqs)
+    nih_diag: jax.Array      # (B, Nfreqs)
+    ninv_full_diag: jax.Array  # (B, Nfreqs)
+    fg: C             # (B, Nfreqs, Nmodes)
+    ni_d: C           # (B, Ntimes, Nfreqs) — Ni (d - Fg a0), FG-deflated
+    a0: C             # (B, Ntimes, Nmodes) host GLS foreground amplitudes
+    p_mat: C          # (B, Nfreqs, Nfreqs) — P = Ni - G (Ni Fg)^H
+    g_mat: C          # (B, Nfreqs, Nmodes) — G = Ni Fg Maa^{-1}
+    maa_inv: C        # (B, Nmodes, Nmodes)
+    igt: InvGammaTable  # shared (same Ntimes for all chains)
 
 
 def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOperators:
-    """Host-side (numpy, float64) precompute, then cast to the engine dtype.
-
-    ``ninv``: scalar, (Nfreqs,) diagonal, or (Nfreqs, Nfreqs) — dense
-    matrices must be diagonal here (every shipped config is; the complex
-    engine handles genuinely dense noise)."""
+    """Build a batch-of-one chain. ``ninv``: scalar, (Nfreqs,) diagonal, or
+    a diagonal (Nfreqs, Nfreqs) matrix (every shipped config; genuinely
+    dense noise uses the complex engine)."""
     vis = np.asarray(vis, dtype=np.complex128)
     nfreqs = vis.shape[-1]
     w = np.asarray(w, dtype=np.float64)
@@ -66,48 +81,77 @@ def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOpe
     ni_fg = ni[:, None] * fg
     maa = fg.conj().T @ ni_fg
     # FG deflation (exact): solve for amplitudes relative to the host-side
-    # float64 GLS foreground fit a0. The raw solution vector mixes O(FG)
-    # amplitudes with the O(EoR) signal, so a float32 solve's norm-wise
-    # error (~cond * eps * |x|) would land entirely on the small signal
-    # components; shifting by a0 balances the solution's dynamic range.
-    rhs0 = fg.conj().T @ (ni * d_w).T               # (Nmodes, Ntimes)
-    a0 = np.linalg.lstsq(maa, rhs0, rcond=None)[0].T  # (Ntimes, Nmodes)
+    # float64 GLS foreground fit a0 — otherwise the f32 solve's norm-wise
+    # error (~cond * eps * |x|) lands on the small EoR components.
+    rhs0 = fg.conj().T @ (ni * d_w).T
+    a0 = np.linalg.lstsq(maa, rhs0, rcond=None)[0].T
     d_defl = d_w - a0 @ fg.T
     ni_d = ni * d_defl
+    # FG block Schur reduction constants (see gcr_solve docstring).
+    maa_inv = np.linalg.pinv(maa)
+    g_mat = ni_fg @ maa_inv
+    p_mat = np.diag(ni).astype(complex) - g_mat @ ni_fg.conj().T
 
-    cv = lambda z: cplx.from_numpy(z, dtype=dtype)
-    rv = lambda x: jnp.asarray(x, dtype=dtype)
+    cv = lambda z: cplx.from_numpy(np.asarray(z)[None], dtype=dtype)
+    rv = lambda x: jnp.asarray(np.asarray(x)[None], dtype=dtype)
     return RChainOperators(
         d_w=cv(d_w),
         w=rv(w),
-        fg=cv(fg),
         f=cplx.dft_matrix(nfreqs, dtype=dtype),
         ni_diag=rv(ni),
         nih_diag=rv(nih),
         ninv_full_diag=rv(ninv_full),
+        fg=cv(fg),
         ni_d=cv(ni_d),
-        ni_fg=cv(ni_fg),
-        maa=cv(maa),
         a0=cv(a0),
+        p_mat=cv(p_mat),
+        g_mat=cv(g_mat),
+        maa_inv=cv(maa_inv),
         igt=make_invgamma_table(vis.shape[0], dtype=dtype),
     )
 
 
+def stack_chain_operators(ops_list) -> RChainOperators:
+    """Concatenate batches of chains along the batch axis (shared fields
+    taken from the first element)."""
+    stacked = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *ops_list
+    )
+    return stacked._replace(f=ops_list[0].f, igt=ops_list[0].igt)
+
+
+def broadcast_chain_operators(ops: RChainOperators, batch: int) -> RChainOperators:
+    """Tile a batch-of-one chain to ``batch`` identical chains (the
+    replicated-baseline scaling fixture, set_up_scaling_data.py:19-34)."""
+
+    def bc(x):
+        return jnp.broadcast_to(x, (batch,) + x.shape[1:])
+
+    out = jax.tree.map(bc, ops._replace(f=None, igt=None))
+    return out._replace(f=ops.f, igt=ops.igt)
+
+
 class RGibbsSample(NamedTuple):
-    signal_cr: C
-    ps: jax.Array
-    fg_amps: C
-    chisq: jax.Array
-    ln_post: jax.Array
+    signal_cr: C      # (B, Ntimes, Nfreqs)
+    ps: jax.Array     # (B, Nfreqs)
+    fg_amps: C        # (B, Ntimes, Nmodes)
+    chisq: jax.Array  # (B, Ntimes, Nfreqs) (or (B,) mean when lean)
+    ln_post: jax.Array  # (B,)
 
 
 def _signal_sqrt(ops: RChainOperators, ps: jax.Array) -> C:
-    """Sh = F^H diag(sqrt(ps) / n^{3/2}) F as a real pair (one complex
-    matmul = 3 MXU matmuls)."""
+    """Sh = F^H diag(sqrt(ps) / n^{3/2}) F per batch element — one complex
+    matmul (3 MXU matmuls) against the shared DFT operator."""
     n = ps.shape[-1]
     s = jnp.sqrt(jnp.clip(ps, 0.0, None)) / (n * np.sqrt(n))
-    fh_s = C(ops.f.re.T * s, -ops.f.im.T * s)  # F^H * diag(s)
+    fh_s = C(
+        ops.f.re.T[None] * s[:, None, :], -ops.f.im.T[None] * s[:, None, :]
+    )
     return cplx.matmul(fh_s, ops.f)
+
+
+def _t(x: C) -> C:
+    return C(jnp.swapaxes(x.re, -1, -2), jnp.swapaxes(x.im, -1, -2))
 
 
 def gcr_solve(
@@ -116,40 +160,66 @@ def gcr_solve(
     omega_a: Optional[C],
     omega_b: Optional[C],
     jitter: float = 0.0,
+    solver: str = "auto",
 ):
-    """Constrained-realization draw for all times (real-pair mirror of
-    models/gcr.py:gcr_solve). ``omega_*`` are (Ntimes, Nfreqs) standard
-    complex normal pairs, or None for the MAP estimate."""
+    """Constrained-realization draw for all (chain, time) pairs at once.
+
+    ``ps``: (B, Nfreqs); ``omega_*``: (B, Ntimes, Nfreqs) standard complex
+    normal pairs or None for the MAP estimate.
+
+    The foreground amplitude block is eliminated analytically before the
+    hot solve (exact Schur reduction on the iteration-constant
+    ``Maa = Fg^H Ni Fg``): with ``G = Ni Fg Maa^{-1}`` and
+    ``P = Ni - G (Ni Fg)^H`` (chain constants),
+
+        (I + Sh P Sh) u = Sh (rc - G Fg^H rc) + w_a,
+        s = Sh u,   a = Maa^{-1} Fg^H rc - G^H s,
+
+    so the per-iteration Hermitian solve is Nfreqs x Nfreqs (embedded real
+    240 for the reference data) with Ntimes right-hand sides.
+    """
     nfreqs = ops.d_w.shape[-1]
     sh = _signal_sqrt(ops, ps)
 
-    # M = [[I + Sh Ni Sh, Sh Ni Fg], [(Ni Fg)^H Sh, Fg^H Ni Fg]]
-    ni_sh = C(ops.ni_diag[:, None] * sh.re, ops.ni_diag[:, None] * sh.im)
-    muu = cplx.matmul(sh, ni_sh) + jnp.eye(nfreqs, dtype=sh.dtype)
-    mua = cplx.matmul(sh, ops.ni_fg)
-    m = cplx.block2x2(muu, mua, mua.adjoint(), ops.maa)
+    p_sh = cplx.matmul(ops.p_mat, sh)
+    s_u = cplx.matmul(sh, p_sh) + jnp.eye(nfreqs, dtype=sh.dtype)
 
-    # RHS for all times: rc = Ni d + Nih w_b; b = [Sh rc + w_a ; Fg^H rc]
     rc = ops.ni_d
     if omega_b is not None:
-        rc = rc + C(ops.nih_diag * omega_b.re, ops.nih_diag * omega_b.im)
-    rc_t = C(rc.re.T, rc.im.T)                       # (Nfreqs, Ntimes)
-    b_top = cplx.matmul(sh, rc_t)
+        rc = rc + C(
+            ops.nih_diag[:, None, :] * omega_b.re,
+            ops.nih_diag[:, None, :] * omega_b.im,
+        )
+    rc_t = _t(rc)                                    # (B, Nfreqs, Ntimes)
+    b_a = cplx.matmul(ops.fg.adjoint(), rc_t)        # (B, Nmodes, Ntimes)
+    rc_red = rc_t - cplx.matmul(ops.g_mat, b_a)
+    b_u = cplx.matmul(sh, rc_red)
     if omega_a is not None:
-        b_top = b_top + C(omega_a.re.T, omega_a.im.T)
-    b_bot = cplx.matmul(ops.fg.adjoint(), rc_t)
-    b = C(
-        jnp.concatenate([b_top.re, b_bot.re], axis=0),
-        jnp.concatenate([b_top.im, b_bot.im], axis=0),
-    )
+        b_u = b_u + _t(omega_a)
 
-    x = cplx.hermitian_solve_recinv(m, b, jitter=jitter)
-    u = C(x.re[:nfreqs], x.im[:nfreqs])
-    amps_t = C(x.re[nfreqs:], x.im[nfreqs:])
-    sig_t = cplx.matmul(sh, u)                       # (Nfreqs, Ntimes)
-    signal_cr = C(sig_t.re.T, sig_t.im.T)
-    fg_amps = C(amps_t.re.T, amps_t.im.T) + ops.a0   # undo FG deflation
+    u = _solve(s_u, b_u, jitter, solver)
+    sig_t = cplx.matmul(sh, u)                       # (B, Nfreqs, Ntimes)
+    signal_cr = _t(sig_t)
+
+    amps_t = cplx.matmul(ops.maa_inv, b_a) - cplx.matmul(
+        ops.g_mat.adjoint(), sig_t
+    )
+    fg_amps = _t(amps_t) + ops.a0                    # undo FG deflation
     return signal_cr, fg_amps
+
+
+def _solve(m: C, b: C, jitter: float, solver: str) -> C:
+    if solver == "auto":
+        solver = "pallas" if jax.default_backend() not in ("cpu",) else "chol"
+    if solver == "chol":
+        return cplx.hermitian_solve(m, b, jitter=jitter)
+    if solver == "recinv":
+        return cplx.hermitian_solve_recinv(m, b, jitter=jitter)
+    if solver == "pallas":
+        from ..ops.pallas import spd_solve
+
+        return spd_solve.hermitian_solve_pallas(m, b, jitter=jitter)
+    raise ValueError(f"unknown solver {solver!r}")
 
 
 def gibbs_step(
@@ -160,34 +230,50 @@ def gibbs_step(
     map_estimate: bool = False,
     jitter: float = 0.0,
     prior_idx=None,
+    solver: str = "auto",
 ):
-    """One Gibbs alternation (reference pspec.py:377-490), all-real ops."""
-    ntimes, nfreqs = ops.d_w.shape
+    """One Gibbs alternation for the whole batch (reference
+    pspec.py:377-490 semantics per chain)."""
+    batch, ntimes, nfreqs = ops.d_w.shape
     k_oma, k_omb, k_ps = jax.random.split(key, 3)
 
     if map_estimate:
         omega_a = omega_b = None
     else:
-        omega_a = cplx.standard_normal(k_oma, (ntimes, nfreqs), dtype=ops.d_w.dtype)
-        omega_b = cplx.standard_normal(k_omb, (ntimes, nfreqs), dtype=ops.d_w.dtype)
-    signal_cr, fg_amps = gcr_solve(ops, ps, omega_a, omega_b, jitter=jitter)
+        omega_a = cplx.standard_normal(
+            k_oma, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
+        )
+        omega_b = cplx.standard_normal(
+            k_omb, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
+        )
+    signal_cr, fg_amps = gcr_solve(
+        ops, ps, omega_a, omega_b, jitter=jitter, solver=solver
+    )
 
     # model = signal + amps @ fg^T ; chisq vs unmasked noise diagonal
-    model = signal_cr + cplx.matmul(fg_amps, ops.fg.T)
+    model = signal_cr + cplx.matmul(fg_amps, _t(ops.fg))
     resid = ops.d_w - model
-    chisq = resid.abs2() * ops.ninv_full_diag
+    chisq = resid.abs2() * ops.ninv_full_diag[:, None, :]
 
-    # Bandpower draw from beta_k = sum_t |F s_t|^2
+    # Bandpower draw from beta_k = sum_t |F s_t|^2 per chain
     sk = cplx.cfft_rows(signal_cr, ops.f)
-    beta = jnp.sum(sk.abs2(), axis=0)
-    ps_new = sample_bandpowers_from_beta(k_ps, beta, ntimes, ps_prior,
-                                         prior_idx, ops.igt)
+    beta = jnp.sum(sk.abs2(), axis=1)                # (B, Nfreqs)
+    ps_new = sample_bandpowers_from_beta(
+        k_ps, beta, ntimes, ps_prior, prior_idx, ops.igt
+    )
 
     # ln posterior under the new sample (multiplicative masking form)
-    noise_term = jnp.sum(ops.ni_diag * resid.abs2())
-    skm = cplx.cfft_rows(C(signal_cr.re * ops.w, signal_cr.im * ops.w), ops.f)
+    noise_term = jnp.sum(
+        ops.ni_diag[:, None, :] * resid.abs2(), axis=(1, 2)
+    )
+    skm = cplx.cfft_rows(
+        C(signal_cr.re * ops.w[:, None, :], signal_cr.im * ops.w[:, None, :]),
+        ops.f,
+    )
     sig_term = jnp.sum(
-        skm.abs2() / jnp.maximum(ps_new, jnp.finfo(ps_new.dtype).tiny)[None, :]
+        skm.abs2()
+        / jnp.maximum(ps_new, jnp.finfo(ps_new.dtype).tiny)[:, None, :],
+        axis=(1, 2),
     )
     ln_post = -(noise_term + sig_term)
 
@@ -197,14 +283,15 @@ def gibbs_step(
 def run_chain(
     key, ops: RChainOperators, ps0, ps_prior, niter: int,
     map_estimate: bool = False, jitter: float = 0.0, store_cr: bool = True,
-    prior_idx=None,
+    prior_idx=None, solver: str = "auto",
 ):
-    """``lax.scan`` over iterations (mirror of gibbs.run_chain)."""
+    """``lax.scan`` over iterations for the whole batch."""
 
     def body(ps, i):
         ps_new, s = gibbs_step(
             jax.random.fold_in(key, i), ps, ops, ps_prior,
             map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
+            solver=solver,
         )
         if not store_cr:
             zero = jnp.zeros((), dtype=ps_new.dtype)
@@ -212,7 +299,7 @@ def run_chain(
                 signal_cr=C(zero, zero),
                 ps=s.ps,
                 fg_amps=C(zero, zero),
-                chisq=jnp.mean(s.chisq),
+                chisq=jnp.mean(s.chisq, axis=(1, 2)),
                 ln_post=s.ln_post,
             )
         return ps_new, s
@@ -221,5 +308,6 @@ def run_chain(
 
 
 run_chain_jit = jax.jit(
-    run_chain, static_argnames=("niter", "map_estimate", "jitter", "store_cr")
+    run_chain,
+    static_argnames=("niter", "map_estimate", "jitter", "store_cr", "solver"),
 )

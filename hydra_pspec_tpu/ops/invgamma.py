@@ -210,13 +210,13 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
     ~17x. Bins listed in prior_idx but with zero prior still get the free
     draw (selection is by prior values, exactly as without prior_idx).
     """
-    nfreqs = beta.shape[-1]
     real_dtype = beta.dtype
     alpha = jnp.asarray(ntimes - 1.0, dtype=real_dtype)
 
     k_gamma, k_u = jax.random.split(key)
-    # Unbounded: x = beta / Gamma(alpha, 1)
-    g = jax.random.gamma(k_gamma, alpha, shape=(nfreqs,), dtype=real_dtype)
+    # Unbounded: x = beta / Gamma(alpha, 1). beta may carry leading batch
+    # axes (the batch-first TPU engine).
+    g = jax.random.gamma(k_gamma, alpha, shape=beta.shape, dtype=real_dtype)
     free = beta / g
 
     def draw_trunc(u, b, lo, hi):
@@ -225,7 +225,7 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
         return truncated_invgamma_sample(u, alpha + 1.0, b, lo, hi)
 
     if prior_idx is None:
-        u = jax.random.uniform(k_u, (nfreqs,), dtype=real_dtype)
+        u = jax.random.uniform(k_u, beta.shape, dtype=real_dtype)
         has_prior = jnp.any(prior > 0, axis=0)
         lo = jnp.where(has_prior, prior[1], 1.0)
         hi = jnp.where(has_prior, prior[0], 10.0)
@@ -234,14 +234,14 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
 
     prior_idx = jnp.asarray(prior_idx)
     npb = prior_idx.shape[0]
-    u = jax.random.uniform(k_u, (npb,), dtype=real_dtype)
+    u = jax.random.uniform(k_u, beta.shape[:-1] + (npb,), dtype=real_dtype)
     p_sub = prior[:, prior_idx]
     has_prior = jnp.any(p_sub > 0, axis=0)
     lo = jnp.where(has_prior, p_sub[1], 1.0)
     hi = jnp.where(has_prior, p_sub[0], 10.0)
-    bounded = draw_trunc(u, beta[prior_idx], lo, hi)
-    vals = jnp.where(has_prior, bounded, free[prior_idx])
-    return free.at[prior_idx].set(vals)
+    bounded = draw_trunc(u, beta[..., prior_idx], lo, hi)
+    vals = jnp.where(has_prior, bounded, free[..., prior_idx])
+    return free.at[..., prior_idx].set(vals)
 
 
 def sample_S(key, s=None, sk=None, prior=None):

@@ -90,14 +90,15 @@ class TestEngineAgreement:
 
         rops = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         sig, amps = rgibbs.gcr_solve(
-            rops, jnp.asarray(ps),
-            cplx.from_numpy(oa, jnp.float64), cplx.from_numpy(ob, jnp.float64),
+            rops, jnp.asarray(ps)[None],
+            cplx.from_numpy(oa[None], jnp.float64),
+            cplx.from_numpy(ob[None], jnp.float64),
         )
         np.testing.assert_allclose(
-            cplx.to_numpy(sig), np.asarray(cres.signal_cr), atol=1e-9
+            cplx.to_numpy(sig)[0], np.asarray(cres.signal_cr), atol=1e-9
         )
         np.testing.assert_allclose(
-            cplx.to_numpy(amps), np.asarray(cres.fg_amps), atol=1e-9
+            cplx.to_numpy(amps)[0], np.asarray(cres.fg_amps), atol=1e-9
         )
 
     def test_map_step_matches(self):
@@ -109,14 +110,14 @@ class TestEngineAgreement:
         )
         rops = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         _, rs = rgibbs.gibbs_step(
-            jax.random.key(0), jnp.asarray(ps), rops, jnp.asarray(prior),
+            jax.random.key(0), jnp.asarray(ps)[None], rops, jnp.asarray(prior),
             map_estimate=True,
         )
         np.testing.assert_allclose(
-            cplx.to_numpy(rs.signal_cr), np.asarray(cs.signal_cr), atol=1e-9
+            cplx.to_numpy(rs.signal_cr)[0], np.asarray(cs.signal_cr), atol=1e-9
         )
         np.testing.assert_allclose(
-            np.asarray(rs.chisq), np.asarray(cs.chisq), atol=1e-9
+            np.asarray(rs.chisq)[0], np.asarray(cs.chisq), atol=1e-9
         )
 
     def test_f32_engine_close_to_f64(self):
@@ -128,12 +129,13 @@ class TestEngineAgreement:
         r64 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         r32 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float32)
         s64, _ = rgibbs.gcr_solve(
-            r64, jnp.asarray(ps), cplx.from_numpy(oa, jnp.float64),
-            cplx.from_numpy(ob, jnp.float64),
+            r64, jnp.asarray(ps)[None], cplx.from_numpy(oa[None], jnp.float64),
+            cplx.from_numpy(ob[None], jnp.float64),
         )
         s32, _ = rgibbs.gcr_solve(
-            r32, jnp.asarray(ps, dtype=jnp.float32),
-            cplx.from_numpy(oa, jnp.float32), cplx.from_numpy(ob, jnp.float32),
+            r32, jnp.asarray(ps, dtype=jnp.float32)[None],
+            cplx.from_numpy(oa[None], jnp.float32),
+            cplx.from_numpy(ob[None], jnp.float32),
         )
         ref = cplx.to_numpy(s64)
         err = np.abs(cplx.to_numpy(s32) - ref) / (np.abs(ref).mean())
@@ -151,7 +153,7 @@ class TestEngineAgreement:
         ninv = np.full(nfreqs, 1 / 0.25)
         prior = np.zeros((2, nfreqs))
         rops = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
-        ps0 = jnp.full((nfreqs,), 4.0 * nfreqs)
+        ps0 = jnp.full((1, nfreqs), 4.0 * nfreqs)
         ps, samples = rgibbs.run_chain_jit(
             jax.random.key(1), rops, ps0, jnp.asarray(prior), 100, store_cr=False
         )
@@ -196,12 +198,13 @@ class TestRecursiveInverse:
         r64 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         r32 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float32)
         s64, _ = rgibbs.gcr_solve(
-            r64, jnp.asarray(ps), cplx.from_numpy(oa, jnp.float64),
-            cplx.from_numpy(ob, jnp.float64),
+            r64, jnp.asarray(ps)[None], cplx.from_numpy(oa[None], jnp.float64),
+            cplx.from_numpy(ob[None], jnp.float64),
         )
         s32, _ = rgibbs.gcr_solve(
-            r32, jnp.asarray(ps, dtype=jnp.float32),
-            cplx.from_numpy(oa, jnp.float32), cplx.from_numpy(ob, jnp.float32),
+            r32, jnp.asarray(ps, dtype=jnp.float32)[None],
+            cplx.from_numpy(oa[None], jnp.float32),
+            cplx.from_numpy(ob[None], jnp.float32),
         )
         ref_ = cplx.to_numpy(s64)
         err = np.abs(cplx.to_numpy(s32) - ref_).max() / np.abs(ref_).mean()
