@@ -130,8 +130,7 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
         lnp = float(jnp.sum(samples.ln_post))
         return chi, lnp
 
-    once(99, 2)  # warm-up separate executable
-    once(98, niter)  # compile the timed executable outside the timing
+    once(98, niter)  # compile + warm the timed executable outside the timing
     t0 = time.perf_counter()
     chi, _ = once(0, niter)
     wall = time.perf_counter() - t0

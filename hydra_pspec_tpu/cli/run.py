@@ -223,6 +223,8 @@ def main(argv=None):
         store_cr=cfg.store_cr,
         jitter=cfg.jitter,
         dtype=None,
+        engine=cfg.engine,
+        solver=cfg.solver,
         resume=cfg.resume,
         verbose=cfg.verbose and is_rank0,
     )

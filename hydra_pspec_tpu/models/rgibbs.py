@@ -51,7 +51,7 @@ class RChainOperators(NamedTuple):
     fg: C             # (B, Nfreqs, Nmodes)
     ni_d: C           # (B, Ntimes, Nfreqs) — Ni (d - Fg a0), FG-deflated
     a0: C             # (B, Ntimes, Nmodes) host GLS foreground amplitudes
-    p_mat: C          # (B, Nfreqs, Nfreqs) — P = Ni - G (Ni Fg)^H
+    p_tilde: C        # (B, Nfreqs, Nfreqs) — F (Ni - G (Ni Fg)^H) F^H / n
     g_mat: C          # (B, Nfreqs, Nmodes) — G = Ni Fg Maa^{-1}
     maa_inv: C        # (B, Nmodes, Nmodes)
     igt: InvGammaTable  # shared (same Ntimes for all chains)
@@ -87,10 +87,15 @@ def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOpe
     a0 = np.linalg.lstsq(maa, rhs0, rcond=None)[0].T
     d_defl = d_w - a0 @ fg.T
     ni_d = ni * d_defl
-    # FG block Schur reduction constants (see gcr_solve docstring).
+    # FG block Schur reduction constants (see gcr_solve docstring), with
+    # the reduced noise operator pre-rotated to the delay basis where the
+    # signal square root is diagonal: P_tilde = F P F^H / n.
     maa_inv = np.linalg.pinv(maa)
     g_mat = ni_fg @ maa_inv
     p_mat = np.diag(ni).astype(complex) - g_mat @ ni_fg.conj().T
+    i_idx = np.arange(nfreqs) - nfreqs // 2
+    f_op = np.exp(-2j * np.pi * np.outer(i_idx, i_idx) / nfreqs)
+    p_tilde = f_op @ p_mat @ f_op.conj().T / nfreqs
 
     cv = lambda z: cplx.from_numpy(np.asarray(z)[None], dtype=dtype)
     rv = lambda x: jnp.asarray(np.asarray(x)[None], dtype=dtype)
@@ -104,7 +109,7 @@ def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOpe
         fg=cv(fg),
         ni_d=cv(ni_d),
         a0=cv(a0),
-        p_mat=cv(p_mat),
+        p_tilde=cv(p_tilde),
         g_mat=cv(g_mat),
         maa_inv=cv(maa_inv),
         igt=make_invgamma_table(vis.shape[0], dtype=dtype),
@@ -115,7 +120,8 @@ def stack_chain_operators(ops_list) -> RChainOperators:
     """Concatenate batches of chains along the batch axis (shared fields
     taken from the first element)."""
     stacked = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *ops_list
+        lambda *xs: jnp.concatenate(xs, axis=0),
+        *[o._replace(f=None, igt=None) for o in ops_list],
     )
     return stacked._replace(f=ops_list[0].f, igt=ops_list[0].igt)
 
@@ -139,17 +145,6 @@ class RGibbsSample(NamedTuple):
     ln_post: jax.Array  # (B,)
 
 
-def _signal_sqrt(ops: RChainOperators, ps: jax.Array) -> C:
-    """Sh = F^H diag(sqrt(ps) / n^{3/2}) F per batch element — one complex
-    matmul (3 MXU matmuls) against the shared DFT operator."""
-    n = ps.shape[-1]
-    s = jnp.sqrt(jnp.clip(ps, 0.0, None)) / (n * np.sqrt(n))
-    fh_s = C(
-        ops.f.re.T[None] * s[:, None, :], -ops.f.im.T[None] * s[:, None, :]
-    )
-    return cplx.matmul(fh_s, ops.f)
-
-
 def _t(x: C) -> C:
     return C(jnp.swapaxes(x.re, -1, -2), jnp.swapaxes(x.im, -1, -2))
 
@@ -157,32 +152,41 @@ def _t(x: C) -> C:
 def gcr_solve(
     ops: RChainOperators,
     ps: jax.Array,
-    omega_a: Optional[C],
+    omega_a_delay: Optional[C],
     omega_b: Optional[C],
     jitter: float = 0.0,
     solver: str = "auto",
 ):
-    """Constrained-realization draw for all (chain, time) pairs at once.
+    """Constrained-realization draw for all (chain, time) pairs at once,
+    formulated in the delay basis where the signal square root is diagonal.
 
-    ``ps``: (B, Nfreqs); ``omega_*``: (B, Ntimes, Nfreqs) standard complex
-    normal pairs or None for the MAP estimate.
+    ``ps``: (B, Nfreqs). ``omega_b``: (B, Ntimes, Nfreqs) standard complex
+    normal (frequency basis). ``omega_a_delay``: (B, Ntimes, Nfreqs)
+    complex normal with covariance ``n I`` — i.e. ``F @ omega_a`` for a
+    standard draw ``omega_a``, which production code samples *directly* as
+    ``sqrt(n) x standard normal`` (exact in distribution, no transform).
+    Pass None for both for the MAP estimate.
 
-    The foreground amplitude block is eliminated analytically before the
-    hot solve (exact Schur reduction on the iteration-constant
-    ``Maa = Fg^H Ni Fg``): with ``G = Ni Fg Maa^{-1}`` and
-    ``P = Ni - G (Ni Fg)^H`` (chain constants),
+    Derivation: the whitened FG-reduced system ``(I + Sh P Sh) u = b``
+    (Sh = F^H diag(sd) F, P constant) conjugated by the centered DFT gives
 
-        (I + Sh P Sh) u = Sh (rc - G Fg^H rc) + w_a,
-        s = Sh u,   a = Maa^{-1} Fg^H rc - G^H s,
+        (I + D P_tilde D) u~ = D (F rc_red) + omega_a_delay^T,
+        D = diag(sqrt(ps / n)),   P_tilde = F P F^H / n  (chain constant),
 
-    so the per-iteration Hermitian solve is Nfreqs x Nfreqs (embedded real
-    240 for the reference data) with Ntimes right-hand sides.
+    so the per-iteration system *build* is one elementwise outer-scaling
+    (no matmuls), the solve is Nfreqs x Nfreqs, and the delay transform of
+    the signal — the bandpower sufficient statistic — is ``D u~``, free.
+
+    Returns ``(signal_cr, fg_amps, sk)`` with ``sk`` the centered delay
+    transform of the signal, shape (B, Ntimes, Nfreqs).
     """
     nfreqs = ops.d_w.shape[-1]
-    sh = _signal_sqrt(ops, ps)
-
-    p_sh = cplx.matmul(ops.p_mat, sh)
-    s_u = cplx.matmul(sh, p_sh) + jnp.eye(nfreqs, dtype=sh.dtype)
+    dd = jnp.sqrt(jnp.clip(ps, 0.0, None) / nfreqs)  # (B, n)
+    outer = dd[:, :, None] * dd[:, None, :]
+    s_u = C(
+        outer * ops.p_tilde.re + jnp.eye(nfreqs, dtype=dd.dtype),
+        outer * ops.p_tilde.im,
+    )
 
     rc = ops.ni_d
     if omega_b is not None:
@@ -193,19 +197,24 @@ def gcr_solve(
     rc_t = _t(rc)                                    # (B, Nfreqs, Ntimes)
     b_a = cplx.matmul(ops.fg.adjoint(), rc_t)        # (B, Nmodes, Ntimes)
     rc_red = rc_t - cplx.matmul(ops.g_mat, b_a)
-    b_u = cplx.matmul(sh, rc_red)
-    if omega_a is not None:
-        b_u = b_u + _t(omega_a)
+    frc = cplx.matmul(ops.f, rc_red)                 # F @ rc_red
+    b_u = C(dd[:, :, None] * frc.re, dd[:, :, None] * frc.im)
+    if omega_a_delay is not None:
+        oat = _t(omega_a_delay)
+        b_u = b_u + oat
 
     u = _solve(s_u, b_u, jitter, solver)
-    sig_t = cplx.matmul(sh, u)                       # (B, Nfreqs, Ntimes)
+    sk_t = C(dd[:, :, None] * u.re, dd[:, :, None] * u.im)  # F s, delay basis
+    # back to frequency basis: s = F^H sk / n
+    finv = C(ops.f.re.T / nfreqs, -ops.f.im.T / nfreqs)
+    sig_t = cplx.matmul(finv, sk_t)                  # (B, Nfreqs, Ntimes)
     signal_cr = _t(sig_t)
 
     amps_t = cplx.matmul(ops.maa_inv, b_a) - cplx.matmul(
         ops.g_mat.adjoint(), sig_t
     )
     fg_amps = _t(amps_t) + ops.a0                    # undo FG deflation
-    return signal_cr, fg_amps
+    return signal_cr, fg_amps, _t(sk_t)
 
 
 def _solve(m: C, b: C, jitter: float, solver: str) -> C:
@@ -240,13 +249,17 @@ def gibbs_step(
     if map_estimate:
         omega_a = omega_b = None
     else:
-        omega_a = cplx.standard_normal(
+        # omega_a is drawn directly in the delay basis with covariance n*I
+        # (= F @ standard normal in distribution) — saves a transform.
+        scale = np.sqrt(nfreqs).astype(np.float32)
+        oa = cplx.standard_normal(
             k_oma, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
         )
+        omega_a = C(oa.re * scale, oa.im * scale)
         omega_b = cplx.standard_normal(
             k_omb, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
         )
-    signal_cr, fg_amps = gcr_solve(
+    signal_cr, fg_amps, sk = gcr_solve(
         ops, ps, omega_a, omega_b, jitter=jitter, solver=solver
     )
 
@@ -255,8 +268,8 @@ def gibbs_step(
     resid = ops.d_w - model
     chisq = resid.abs2() * ops.ninv_full_diag[:, None, :]
 
-    # Bandpower draw from beta_k = sum_t |F s_t|^2 per chain
-    sk = cplx.cfft_rows(signal_cr, ops.f)
+    # Bandpower draw from beta_k = sum_t |sk_t|^2 per chain (sk falls out
+    # of the delay-basis solve for free)
     beta = jnp.sum(sk.abs2(), axis=1)                # (B, Nfreqs)
     ps_new = sample_bandpowers_from_beta(
         k_ps, beta, ntimes, ps_prior, prior_idx, ops.igt

@@ -5,21 +5,28 @@ Why a custom kernel: XLA lowers Cholesky and TriangularSolve to while-loops
 of O(n/8) block steps, and on the axon TPU backend every HLO step carries
 ~15-30 us of overhead — the factor+solves dominated the whole Gibbs
 iteration (~13 ms of a 15 ms step at batch 100). Inside one Pallas program
-the same blocked algorithm runs as hardware loops over VMEM-resident data:
-one kernel launch per batch tile, MXU rank-updates, zero HLO-step overhead.
+the same blocked algorithm runs over VMEM-resident data: one kernel launch
+per batch tile, MXU rank-updates, zero HLO-step overhead.
 
-Algorithm (per batch tile, all in VMEM):
-  factor:  for each 8-column block j: factor the 8x8 diagonal block
-           (unrolled), build its inverse via the nilpotent Neumann product
-           (L = D(I+M), M^8 = 0 => (I+M)^{-1} = (I-M)(I+M^2)(I+M^4)),
-           form the panel, rank-8 trailing update (masked full-width so
-           shapes stay static — zero rows contribute nothing).
-  solve:   blocked forward then backward substitution on the K RHS
-           columns, reusing the stored 8x8 diagonal-block inverses.
+Precision: the backend's default MXU pass rounds f32 operands to bf16
+(~2e-3 relative — fatally imprecise for a factorization), while Mosaic's
+HIGHEST lowering multiplied compile time ~30x. The kernel therefore uses
+an explicit 3-pass bf16 split (``ah bh + ah bl + al bh`` with f32
+accumulation — ~f32-grade products) for the large matmuls, and pure-VPU
+elementwise contractions (exact f32) for the small diagonal-block work.
 
-Layout requirements: N and K multiples of 8 and 128 respectively for lane
-alignment; callers pad (pad rows carry identity diagonal / zero RHS, so
-the padded system is exactly block-diagonal and harmless).
+Algorithm (per batch tile, all in VMEM): for each NB-column block —
+Python-unrolled, since Mosaic requires *dynamic* lane offsets to be
+128-aligned while static NB-wide slices are free — factor the NB x NB
+diagonal block (unrolled scalar Cholesky), invert it via the nilpotent
+Neumann product (L = D(I+M), M^NB = 0), form the panel, rank-NB trailing
+update, and push the forward substitution of the RHS through the same
+sweep; then a backward-substitution sweep. NB trades per-step work against
+the number of unrolled steps; batched MXU dots are effectively unrolled
+per batch element by Mosaic, so fewer/fatter steps win.
+
+Layout: N, K padded to 128 multiples by the wrapper (pad rows carry an
+identity diagonal / zero RHS — exactly block-diagonal, harmless).
 """
 import functools
 
@@ -31,26 +38,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cplx import C, embed_hermitian, embed_rhs, unembed_solution
 
-NB = 8  # factor block size (f32 sublane tile)
+NB = 32  # factor block size (fewer block steps => fewer unrolled MXU ops)
 
 
-def _iota8():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, NB), 1)
+def _split(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
 
 
-def _eye8(dtype):
-    r = jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
+def _bmm(a, b):
+    """Batched matmul with explicit 3-pass bf16 splitting (~f32 products,
+    f32 accumulation) — Mosaic supports only DEFAULT (1-pass bf16, too
+    coarse for a factorization) and HIGHEST (pathological compile time)."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+
+def _vmm(a, b):
+    """Small-block matmul on the VPU (exact f32, no MXU precision games):
+    (bt, m, k) @ (bt, k, n) with m, k <= NB."""
+    return jnp.sum(a[:, :, :, None] * b[:, None, :, :], axis=2)
+
+
+def _iota(nb):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+
+
+def _eye(nb, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     return (r == c).astype(dtype)
 
 
-def _chol8(a):
-    """Unrolled Cholesky of (bt, 8, 8) SPD blocks. Returns lower L.
-    Masks are built from in-kernel iota (Pallas kernels cannot capture
-    array constants)."""
+def _chol_block(a):
+    """Unrolled Cholesky of (bt, NB, NB) SPD blocks; returns lower L.
+    Masks come from in-kernel iota (Pallas kernels cannot capture array
+    constants)."""
     cols = []
     tiny = jnp.finfo(a.dtype).tiny
-    iota = _iota8()
+    iota = _iota(NB)
     for k in range(NB):
         akk = jnp.sqrt(jnp.maximum(a[:, k, k], tiny))
         col = a[:, :, k] / akk[:, None]
@@ -60,42 +92,46 @@ def _chol8(a):
     return jnp.stack(cols, axis=2)
 
 
-def _inv_lower8(l):
-    """Inverse of (bt, 8, 8) lower-triangular blocks via the nilpotent
-    Neumann factorization — 4 batched matmuls instead of 36 scalar steps."""
-    eye = _eye8(l.dtype)
-    # batched diagonal via masked sum (batched jnp.diagonal lowers to a 3D
-    # gather, unsupported by this backend)
-    d = jnp.sum(l * eye[None], axis=2)
+def _inv_lower_neumann(l, nb):
+    """Inverse of (bt, nb, nb) lower-triangular blocks via the nilpotent
+    Neumann factorization: with L = D (I + M), M^nb = 0,
+    (I+M)^{-1} = (I-M)(I+M^2)(I+M^4)...(I+M^{nb/2})."""
+    eye = _eye(nb, l.dtype)
+    d = jnp.sum(l * eye[None], axis=2)  # batched diag via masked sum
     dinv = 1.0 / d
-    m = l * dinv[:, :, None]  # unit lower triangular: I + M
-    m = m - eye               # strictly lower, M^8 = 0
-    bmm = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    m2 = bmm(m, m)
-    m4 = bmm(m2, m2)
-    inv_unit = bmm(bmm(eye - m, eye + m2), eye + m4)
+    m = l * dinv[:, :, None] - eye
+    inv_unit = eye[None] - m
+    p = m
+    k = 2
+    while k < nb:
+        p = _vmm(p, p)          # M^k
+        inv_unit = _vmm(inv_unit, eye[None] + p)
+        k *= 2
     return inv_unit * dinv[:, None, :]
 
 
-def _bmm(a, b):
-    return jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+def _inv_lower_block(l):
+    """Inverse of (bt, NB, NB) lower-triangular blocks. Above 16 the raw
+    Neumann product loses accuracy (powers of the non-normal strictly-lower
+    part grow before vanishing), so recurse on 2x2 block triangles:
+    inv([[A,0],[B,C]]) = [[invA, 0], [-invC B invA, invC]]."""
+    if NB <= 16:
+        return _inv_lower_neumann(l, NB)
+    h = NB // 2
+    a = l[:, :h, :h]
+    bb = l[:, h:, :h]
+    c = l[:, h:, h:]
+    inv_a = _inv_lower_neumann(a, h)
+    inv_c = _inv_lower_neumann(c, h)
+    off = -_vmm(inv_c, _vmm(bb, inv_a))
+    top = jnp.concatenate([inv_a, jnp.zeros_like(bb).swapaxes(1, 2)], axis=2)
+    bot = jnp.concatenate([off, inv_c], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
 
 
 def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
     """Refs: e (bt,N,N) in, b (bt,N,K) in, x (bt,N,K) out,
-    scratch l (bt,N,N), invd (bt,N,8).
-
-    The block loops are Python-unrolled: Mosaic requires *dynamic* lane
-    indices to be 128-aligned, but static 8-wide column slices are fine,
-    and unrolling also removes all loop-carried control flow."""
+    scratch l (bt,N,N), invd (bt,N,NB)."""
     bt, n, _ = e_ref.shape
     nblocks = n // NB
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
@@ -104,11 +140,12 @@ def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
     l_ref[:] = e_ref[:]
     x_ref[:] = b_ref[:]
 
+    # Factorization with the forward substitution fused into the sweep.
     for j in range(nblocks):
         c0 = j * NB
         ajj = l_ref[:, c0 : c0 + NB, c0 : c0 + NB]
-        ljj = _chol8(ajj)
-        inv_ljj = _inv_lower8(ljj)
+        ljj = _chol_block(ajj)
+        inv_ljj = _inv_lower_block(ljj)
         invd_ref[:, c0 : c0 + NB, :] = inv_ljj
 
         panel = l_ref[:, :, c0 : c0 + NB]
@@ -117,27 +154,22 @@ def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
         # write the finished column block: L_below, then L_jj in its rows
         l_ref[:, :, c0 : c0 + NB] = lcol
         l_ref[:, c0 : c0 + NB, c0 : c0 + NB] = ljj
-        # rank-8 trailing update (zero rows/cols outside trailing block)
-        if j + 1 < nblocks:
-            l_ref[:] = l_ref[:] - _bmm(lcol, jnp.swapaxes(lcol, 1, 2))
-
-    for j in range(nblocks):
-        c0 = j * NB
-        inv_ljj = invd_ref[:, c0 : c0 + NB, :]
         yj = _bmm(inv_ljj, x_ref[:, c0 : c0 + NB, :])
         x_ref[:, c0 : c0 + NB, :] = yj
         if j + 1 < nblocks:
-            panel = l_ref[:, :, c0 : c0 + NB]
-            lbelow = jnp.where(row_ids >= c0 + NB, panel, 0.0)
-            x_ref[:] = x_ref[:] - _bmm(lbelow, yj)
+            # rank-NB trailing update (masked rows => zero contributions
+            # outside the trailing submatrix)
+            l_ref[:] = l_ref[:] - _bmm(lcol, jnp.swapaxes(lcol, 1, 2))
+            x_ref[:] = x_ref[:] - _bmm(lcol, yj)
 
+    # Backward substitution.
     for j in range(nblocks - 1, -1, -1):
         c0 = j * NB
         inv_ljj = invd_ref[:, c0 : c0 + NB, :]
         xj = _bmm(jnp.swapaxes(inv_ljj, 1, 2), x_ref[:, c0 : c0 + NB, :])
         x_ref[:, c0 : c0 + NB, :] = xj
-        # rows above get L^T contributions: L^T[above, blk] = L[blk, above]^T
         if j > 0:
+            # rows above get L^T contributions: L^T[above,blk] = L[blk,above]^T
             lrow = l_ref[:, c0 : c0 + NB, :]
             lrow = jnp.where(col_ids < c0, lrow, 0.0)
             x_ref[:] = x_ref[:] - _bmm(jnp.swapaxes(lrow, 1, 2), xj)
@@ -202,7 +234,7 @@ def spd_factor_solve(e, b, batch_tile: int = 8):
             pltpu.VMEM((batch_tile, n, NB), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )(e, b)
     return x[:B, :n0, :k0]

@@ -2,13 +2,21 @@
 
 The reference distributes baselines over MPI ranks and times over forked
 processes (run-hydra-pspec.py:483, pspec.py:287). Here the (baseline x
-chain) product is one batch axis: chain constants are stacked into a single
-pytree, the Gibbs chain is vmapped over it, and the batch axis is sharded
-over the device mesh — so one jitted computation drives every chip with
-zero collectives in the loop.
+chain) product is one batch axis, executed by one of two engines:
+
+  * ``engine="real"`` (TPU production): the batch-first real-pair engine
+    (models/rgibbs.py) whose hot solve is a single fused Pallas kernel for
+    the whole batch;
+  * ``engine="complex"`` (CPU / x64 parity, dense noise models): the
+    complex engine (models/gibbs.py) vmapped over stacked chain operators.
+
+Incremental writes land every ``write_niter`` iterations with the
+reference's filenames (crash resilience, pspec.py:625-638) plus a
+resumable checkpoint (new capability; the reference cannot restart,
+SURVEY.md §5.4).
 """
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -16,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import gcr, gibbs
-from .models.gibbs import GibbsSample
+from .models import gcr, gibbs, rgibbs
+from .ops import cplx
 from .parallel import mesh as pmesh
 from .utils import io as hio
 
@@ -40,8 +48,8 @@ class BaselineJob:
 class RunResult:
     antpair: tuple
     chain: int
-    signal_ps: np.ndarray
-    ln_post: np.ndarray
+    signal_ps: np.ndarray      # (Niter, Nfreqs)
+    ln_post: np.ndarray        # (Niter,)
     chisq: np.ndarray
     signal_cr: Optional[np.ndarray]
     fg_amps: Optional[np.ndarray]
@@ -50,18 +58,25 @@ class RunResult:
     write_time: float = 0.0
 
 
-def _stack_ops(ops_list):
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ops_list)
-    # The Fourier operator is identical across the batch (depends only on
-    # Nfreqs) — keep a single shared copy, matching the vmap in_axes=None.
-    return stacked._replace(fourier_op=ops_list[0].fourier_op)
+def _initial_ps_host(S_initial, nfreqs):
+    """ps-state from an initial covariance, host-side numpy (the TPU
+    backend has no complex dtypes; see models/gibbs.initial_ps for the
+    convention)."""
+    S0 = np.asarray(S_initial)
+    if S0.ndim == 1:
+        return np.clip(S0.real, 0.0, None)
+    i = np.arange(nfreqs) - nfreqs // 2
+    F = np.exp(-2j * np.pi * np.outer(i, i) / nfreqs)
+    ps = np.diagonal(F @ S0 @ F.conj().T).real / nfreqs**2 * nfreqs**2
+    return np.clip(ps, 0.0, None)
 
 
-def _batched_axes(ops):
-    """vmap in_axes for a stacked ChainOperators: batch everything except
-    the shared Fourier operator."""
-    axes = jax.tree.map(lambda _: 0, ops)
-    return axes._replace(fourier_op=None)
+def select_engine(engine: str = "auto") -> str:
+    if engine != "auto":
+        return engine
+    if jax.config.jax_enable_x64:
+        return "complex"
+    return "real" if jax.default_backend() != "cpu" else "real"
 
 
 def run_baselines(
@@ -76,161 +91,249 @@ def run_baselines(
     store_cr: bool = True,
     jitter: float = 0.0,
     dtype=None,
+    engine: str = "auto",
+    solver: str = "auto",
     use_mesh: bool = True,
     checkpoint: bool = True,
     resume: bool = False,
     verbose: bool = False,
 ):
-    """Run Gibbs chains for every (baseline, chain) pair.
-
-    Returns a list of :class:`RunResult` (one per baseline per chain) and a
-    timing dict. Incremental writes land every ``write_niter`` iterations
-    with the reference's filenames (crash resilience, pspec.py:625-638) plus
-    a resumable checkpoint (new capability; the reference cannot restart,
-    SURVEY.md §5.4).
-    """
+    """Run Gibbs chains for every (baseline, chain) pair; returns
+    ``(results, timings)`` with one :class:`RunResult` per pair."""
     if map_estimate:
         niter = 1
         write_niter = 1
+    engine = select_engine(engine)
     nbl = len(jobs)
-    batch = nbl * nchains
+    nfreqs = jobs[0].d.shape[-1]
+    meta = [(ib, ic) for ib in range(nbl) for ic in range(nchains)]
 
-    # --- per-(baseline, chain) constants -------------------------------
-    ops_list, ps_list, keys, meta = [], [], [], []
+    prior = jnp.asarray(np.asarray(ps_prior, dtype=np.float64))
+    prior_idx = np.nonzero(np.any(np.asarray(ps_prior) > 0, axis=0))[0]
+    prior_idx_j = jnp.asarray(prior_idx) if prior_idx.size else None
+
     base_key = jax.random.key(seed if seed is not None else 0)
-    for ib, job in enumerate(jobs):
-        ops = gcr.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv, dtype=dtype)
-        S0 = np.asarray(job.S_initial)
-        if S0.ndim == 1:
-            ps0 = jnp.clip(jnp.asarray(S0), 0.0, None)
-        else:
-            ps0 = gibbs.initial_ps(S0, ops.fourier_op)
-        for ic in range(nchains):
-            ops_list.append(ops)
-            ps_list.append(ps0)
-            keys.append(jax.random.fold_in(jax.random.fold_in(base_key, ib), ic))
-            meta.append((ib, ic))
 
-    # --- pad to the mesh and shard --------------------------------------
-    dev_mesh = pmesh.make_mesh() if use_mesh else None
-    nshards = len(dev_mesh.devices.flat) if dev_mesh is not None else 1
-    padded = pmesh.pad_batch(batch, nshards)
-    while len(ops_list) < padded:
-        ops_list.append(ops_list[-1])
-        ps_list.append(ps_list[-1])
-        keys.append(keys[-1])
-
-    ops_b = _stack_ops(ops_list)
-    ps_b = jnp.stack(ps_list)
-    keys_b = jnp.stack(keys)
-    prior = jnp.asarray(ps_prior)
-    if dev_mesh is not None:
-        fop = jax.device_put(
-            ops_b.fourier_op, pmesh.replicated_sharding(dev_mesh)
+    # --- build + stack chain constants ----------------------------------
+    ps0_list = [
+        _initial_ps_host(job.S_initial, nfreqs) for job in jobs
+    ]
+    if engine == "real":
+        ops_list = [
+            rgibbs.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv)
+            for job in jobs
+        ]
+        ops_b = rgibbs.stack_chain_operators(
+            [ops_list[ib] for ib, _ in meta]
         )
-        sharded = pmesh.shard_batch(
-            {"ops": ops_b._replace(fourier_op=None), "ps": ps_b, "keys": keys_b},
-            dev_mesh,
+        ps_b = jnp.asarray(
+            np.stack([ps0_list[ib] for ib, _ in meta]), dtype=jnp.float32
         )
-        ops_b = sharded["ops"]._replace(fourier_op=fop)
-        ps_b, keys_b = sharded["ps"], sharded["keys"]
+        prior = prior.astype(jnp.float32)
+    else:
+        ops_list = [
+            gcr.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv,
+                                      dtype=dtype)
+            for job in jobs
+        ]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[ops_list[ib] for ib, _ in meta]
+        )
+        ops_b = stacked._replace(fourier_op=ops_list[0].fourier_op)
+        ps_b = jnp.asarray(np.stack([ps0_list[ib] for ib, _ in meta]))
 
-    chain_fn = jax.jit(
-        jax.vmap(
-            gibbs.run_chain,
-            in_axes=(0, _batched_axes(ops_b), 0, None, None, None, None, None),
-        ),
-        static_argnums=(4, 5, 6, 7),
+    keys_b = jnp.stack(
+        [
+            jax.random.fold_in(jax.random.fold_in(base_key, ib), ic)
+            for ib, ic in meta
+        ]
     )
+
+    # --- shard the batch over the device mesh ---------------------------
+    if use_mesh and len(jax.devices()) > 1:
+        dev_mesh = pmesh.make_mesh()
+        nsh = len(dev_mesh.devices.flat)
+        if len(meta) % nsh == 0:
+            if engine == "real":
+                shared = {"f": ops_b.f, "igt": ops_b.igt}
+                body = pmesh.shard_batch(
+                    ops_b._replace(f=None, igt=None), dev_mesh
+                )
+                rep = pmesh.replicated_sharding(dev_mesh)
+                ops_b = body._replace(
+                    f=jax.tree.map(lambda x: jax.device_put(x, rep), shared["f"]),
+                    igt=jax.tree.map(lambda x: jax.device_put(x, rep), shared["igt"]),
+                )
+            else:
+                fop = jax.device_put(
+                    ops_b.fourier_op, pmesh.replicated_sharding(dev_mesh)
+                )
+                ops_b = pmesh.shard_batch(
+                    ops_b._replace(fourier_op=None), dev_mesh
+                )._replace(fourier_op=fop)
+            ps_b = pmesh.shard_batch(ps_b, dev_mesh)
+            keys_b = pmesh.shard_batch(keys_b, dev_mesh)
+
+    # --- per-chunk step functions ---------------------------------------
+    if engine == "real":
+        def run_chunk(chunk_key_base, ps, n):
+            # one key per chunk; rgibbs folds per-iteration internally
+            return rgibbs.run_chain_jit(
+                chunk_key_base, ops_b, ps, prior, niter=n,
+                map_estimate=map_estimate, jitter=jitter, store_cr=store_cr,
+                prior_idx=prior_idx_j, solver=solver,
+            )
+        # outputs: (niter, B, ...) — scan-major
+        batch_axis = 1
+    else:
+        axes = jax.tree.map(lambda _: 0, ops_b)._replace(fourier_op=None)
+        vchain = jax.jit(
+            jax.vmap(
+                gibbs.run_chain,
+                in_axes=(0, axes, 0, None, None, None, None, None, None),
+            ),
+            static_argnums=(4, 5, 6, 7),
+        )
+
+        def run_chunk(chunk_keys, ps, n):
+            return vchain(
+                chunk_keys, ops_b, ps, prior, n, map_estimate, jitter,
+                store_cr, prior_idx_j,
+            )
+        # outputs: (B, niter, ...) — vmap-major
+        batch_axis = 0
 
     # --- resume ----------------------------------------------------------
     start_iter = 0
     if resume and jobs[0].out_dir is not None:
-        ck = hio.load_checkpoint(_chain_dir(jobs[0].out_dir, jobs[0].antpair, 0, nchains))
-        if ck is not None and ck["ps"].shape == (padded, ps_b.shape[-1]):
+        ck = hio.load_checkpoint(
+            _chain_dir(jobs[0].out_dir, 0, nchains)
+        )
+        if ck is not None and ck["ps"].shape == ps_b.shape:
             start_iter = ck["iteration"]
-            ps_b = jnp.asarray(ck["ps"])
+            ps_b = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
             if verbose:
                 print(f"resuming from iteration {start_iter}")
 
     # --- chunked scan with host flushes ---------------------------------
     host_chunks = []
     write_time = 0.0
-    t_process0 = time.perf_counter()
+    t0_proc = time.perf_counter()
     done = start_iter
     while done < niter:
         n = min(write_niter, niter - done)
-        chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
-        ps_b, samples = chain_fn(
-            chunk_keys, ops_b, ps_b, prior, n, map_estimate, jitter, store_cr
-        )
-        host = jax.device_get(samples)
-        host_chunks.append(host)
+        if engine == "real":
+            chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
+            ps_b, samples = run_chunk(chunk_key, ps_b, n)
+        else:
+            chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
+            ps_b, samples = run_chunk(chunk_keys, ps_b, n)
+        host_chunks.append(_to_host(samples, engine, store_cr))
         done += n
         if verbose:
             print(f"iter {done}/{niter}")
         t0 = time.perf_counter()
         if jobs[0].out_dir is not None:
-            _flush(jobs, meta, host_chunks, ops_list, nchains, store_cr)
+            _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs)
             if checkpoint:
-                for (ib, ic) in meta:
-                    hio.save_checkpoint(
-                        _chain_dir(jobs[ib].out_dir, jobs[ib].antpair, ic, nchains),
-                        iteration=done,
-                        ps=np.asarray(ps_b),
-                        key_data=jax.random.key_data(keys_b),
-                        extra={"niter": niter},
-                    )
-                    break  # one global checkpoint (state covers all chains)
+                hio.save_checkpoint(
+                    _chain_dir(jobs[0].out_dir, 0, nchains),
+                    iteration=done,
+                    ps=np.asarray(ps_b),
+                    key_data=jax.random.key_data(base_key),
+                    extra={"niter": niter, "engine": engine},
+                )
         write_time += time.perf_counter() - t0
-    t_process = time.perf_counter() - t_process0
+    t_process = time.perf_counter() - t0_proc
 
-    results = _collect(jobs, meta, host_chunks, ops_list, nchains, store_cr, write_time)
-    timings = {"process": t_process, "write": write_time, "niter": niter, "batch": batch}
+    results = _collect(
+        jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs, write_time
+    )
+    timings = {
+        "process": t_process,
+        "write": write_time,
+        "niter": niter,
+        "batch": len(meta),
+        "engine": engine,
+    }
     return results, timings
 
 
-def _chain_dir(out_dir, antpair, chain, nchains):
+class _HostSample:
+    __slots__ = ("signal_cr", "ps", "fg_amps", "chisq", "ln_post")
+
+    def __init__(self, signal_cr, ps, fg_amps, chisq, ln_post):
+        self.signal_cr = signal_cr
+        self.ps = ps
+        self.fg_amps = fg_amps
+        self.chisq = chisq
+        self.ln_post = ln_post
+
+
+def _to_host(samples, engine, store_cr):
+    if engine == "real":
+        cr = cplx.to_numpy(samples.signal_cr) if store_cr else None
+        fga = cplx.to_numpy(samples.fg_amps) if store_cr else None
+    else:
+        cr = np.asarray(samples.signal_cr) if store_cr else None
+        fga = np.asarray(samples.fg_amps) if store_cr else None
+    return _HostSample(
+        cr,
+        np.asarray(samples.ps),
+        fga,
+        np.asarray(samples.chisq),
+        np.asarray(samples.ln_post),
+    )
+
+
+def _chain_dir(out_dir, chain, nchains):
     d = Path(out_dir)
     if nchains > 1:
         d = d / f"chain-{chain}"
     return d
 
 
-def _slice_batch(host_chunks, idx, store_cr):
-    ps = np.concatenate([c.ps[:, idx] for c in host_chunks])
-    lnp = np.concatenate([np.atleast_1d(c.ln_post[:, idx]) for c in host_chunks])
+def _take(arr, idx, batch_axis):
+    if arr is None:
+        return None
+    return np.take(arr, idx, axis=batch_axis)
+
+
+def _slice_batch(host_chunks, idx, batch_axis, store_cr):
+    """Per-(baseline, chain) arrays with iterations on axis 0."""
+    ps = np.concatenate([_take(c.ps, idx, batch_axis) for c in host_chunks])
+    lnp = np.concatenate(
+        [np.atleast_1d(_take(c.ln_post, idx, batch_axis)) for c in host_chunks]
+    )
     if store_cr:
-        cr = np.concatenate([c.signal_cr[:, idx] for c in host_chunks])
-        fga = np.concatenate([c.fg_amps[:, idx] for c in host_chunks])
-        chi = np.concatenate([c.chisq[:, idx] for c in host_chunks])
+        cr = np.concatenate([_take(c.signal_cr, idx, batch_axis) for c in host_chunks])
+        fga = np.concatenate([_take(c.fg_amps, idx, batch_axis) for c in host_chunks])
+        chi = np.concatenate([_take(c.chisq, idx, batch_axis) for c in host_chunks])
     else:
-        cr = None
-        fga = None
-        chi = np.concatenate([np.atleast_1d(c.chisq[:, idx]) for c in host_chunks])
+        cr = fga = None
+        chi = np.concatenate(
+            [np.atleast_1d(_take(c.chisq, idx, batch_axis)) for c in host_chunks]
+        )
     return ps, lnp, cr, fga, chi
 
 
-def _final_S(ps_last, ops):
-    n = ps_last.shape[-1]
-    from .ops.fourier import covariance_from_pspec
-
-    return np.asarray(
-        covariance_from_pspec(jnp.asarray(ps_last) / n**2, ops.fourier_op)
-    )
+def _final_S(ps_last, nfreqs):
+    i = np.arange(nfreqs) - nfreqs // 2
+    F = np.exp(-2j * np.pi * np.outer(i, i) / nfreqs)
+    return F.conj().T @ np.diag(ps_last / nfreqs**2).astype(complex) @ F
 
 
-def _flush(jobs, meta, host_chunks, ops_list, nchains, store_cr):
+def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs):
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
         if job.out_dir is None:
             continue
-        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, store_cr)
-        d = _chain_dir(job.out_dir, job.antpair, ic, nchains)
+        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, batch_axis, store_cr)
+        d = _chain_dir(job.out_dir, ic, nchains)
         hio.write_numpy_files(
             d,
             cr if cr is not None else np.zeros(0),
-            _final_S(ps[-1], ops_list[bidx]),
+            _final_S(ps[-1], nfreqs),
             ps,
             fga if fga is not None else np.zeros(0),
             chi,
@@ -238,11 +341,12 @@ def _flush(jobs, meta, host_chunks, ops_list, nchains, store_cr):
         )
 
 
-def _collect(jobs, meta, host_chunks, ops_list, nchains, store_cr, write_time):
+def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
+             write_time):
     results = []
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
-        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, store_cr)
+        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, batch_axis, store_cr)
         results.append(
             RunResult(
                 antpair=job.antpair,
@@ -252,9 +356,9 @@ def _collect(jobs, meta, host_chunks, ops_list, nchains, store_cr, write_time):
                 chisq=chi,
                 signal_cr=cr,
                 fg_amps=fga,
-                signal_S=_final_S(ps[-1], ops_list[bidx]),
+                signal_S=_final_S(ps[-1], nfreqs),
                 out_dir=None if job.out_dir is None
-                else _chain_dir(job.out_dir, job.antpair, ic, nchains),
+                else _chain_dir(job.out_dir, ic, nchains),
                 write_time=write_time,
             )
         )
@@ -270,7 +374,7 @@ def gelman_rubin(ps_chains: np.ndarray) -> np.ndarray:
     half = n // 2
     splits = ps_chains[:, :half], ps_chains[:, half : 2 * half]
     x = np.concatenate(splits, axis=0)  # (2c, half, k)
-    m, nn = x.shape[0], x.shape[1]
+    nn = x.shape[1]
     chain_means = x.mean(axis=1)
     chain_vars = x.var(axis=1, ddof=1)
     B = nn * chain_means.var(axis=0, ddof=1)

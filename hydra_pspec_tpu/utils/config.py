@@ -50,6 +50,8 @@ class RunConfig:
     resume: bool = False      # resume from checkpoint.npz if present
     checkpoint_Niter: int = 0  # 0 = checkpoint every write_Niter
     jitter: float = 0.0       # Cholesky diagonal jitter (f32 robustness)
+    engine: str = "auto"      # "auto" | "real" (TPU f32 pairs) | "complex"
+    solver: str = "auto"      # "auto" | "pallas" | "chol" | "recinv"
 
     @classmethod
     def from_yaml(cls, path, **overrides):

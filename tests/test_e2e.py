@@ -1,0 +1,84 @@
+"""End-to-end acceptance test on the bundled reference data — the
+automated version of the reference's validation procedure
+(test_data/README.md:36-49 + plot-test-data-results.py): run the full CLI
+on the canonical config and require the recovered delay power spectrum to
+track the truth recomputed from vis-eor.uvh5.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TEST_DATA = Path("/root/reference/test_data")
+
+pytestmark = pytest.mark.skipif(
+    not TEST_DATA.exists(), reason="reference test data not available"
+)
+
+
+def test_cli_end_to_end_recovers_truth(tmp_path):
+    from hydra_pspec_tpu.cli.run import main
+
+    niter, nburn = 250, 80
+    rc = main([
+        "--config", str(TEST_DATA / "config.yaml"),
+        "--out_dir", str(tmp_path),
+        "--Niter", str(niter),
+        "--write_Niter", "125",
+        "--clobber",
+    ])
+    assert rc == 0
+
+    res = tmp_path / "results-seed-7123689-Niter-1000" / "0-1"
+    dps = np.load(res / "dps-eor.npy")
+    ln_post = np.load(res / "ln-post.npy")
+    chisq = np.load(res / "chisq.npy")
+    assert dps.shape == (niter, 120)
+    assert np.isfinite(dps).all()
+
+    # chi^2 per channel ~ 1 after burn-in (reference soft assertion,
+    # pspec.py:447-458)
+    chi_mean = chisq[nburn:].mean()
+    assert abs(chi_mean - 1.0) < 0.02, chi_mean
+
+    # truth: time-averaged delay PS of the EoR-only visibilities
+    from hydra_pspec_tpu.utils.uvh5 import read_uvh5
+
+    bls, _ = read_uvh5(TEST_DATA / "vis-eor.uvh5")
+    vis_eor = bls[0].vis
+    ds = np.fft.fftshift(
+        np.fft.fft(np.fft.ifftshift(vis_eor, axes=1), axis=1), axes=1
+    )
+    dps_true = (np.abs(ds) ** 2).mean(axis=0)
+
+    pwm = np.average(dps[nburn:], weights=ln_post[nburn:], axis=0)
+    # EoR-dominated bins away from the foreground wedge / prior window
+    edge = np.r_[0:40, 80:120]
+    ratio = pwm[edge] / dps_true[edge]
+    med = np.median(ratio)
+    assert 0.85 < med < 1.2, med
+    assert np.percentile(ratio, 95) < 2.0
+    assert np.percentile(ratio, 5) > 0.5
+
+    # provenance artifacts in the reference schema
+    root = tmp_path / "results-seed-7123689-Niter-1000"
+    for name in ("timings.json", "resources.json", "args.json", "git.json"):
+        assert (root / name).exists()
+
+
+def test_map_estimate_cli(tmp_path):
+    from hydra_pspec_tpu.cli.run import main
+
+    rc = main([
+        "--config", str(TEST_DATA / "config.yaml"),
+        "--out_dir", str(tmp_path),
+        "--map_estimate",
+        "--clobber",
+    ])
+    assert rc == 0
+    res = (
+        tmp_path / "results-seed-7123689-Niter-1000-map-estimate" / "0-1"
+    )
+    cr = np.load(res / "gcr-eor.npy")
+    assert cr.shape == (1, 203, 120)
+    assert np.isfinite(cr).all()

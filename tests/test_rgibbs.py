@@ -69,6 +69,14 @@ class TestCplxPrimitives:
         assert abs(zr.mean()) < 0.02
 
 
+def to_delay(oa):
+    """Transform a freq-basis omega_a draw to the engine's delay-basis
+    convention (rows per time: F @ oa_t  ==  oa @ F, F symmetric)."""
+    from hydra_pspec_tpu.ops.fourier import fourier_operator
+    F = np.asarray(fourier_operator(oa.shape[-1], dtype=jnp.complex128))
+    return oa @ F
+
+
 def make_problem(ntimes=17, nfreqs=24, nmodes=4):
     d = crandn(ntimes, nfreqs) * 2.0
     w = np.ones(nfreqs); w[3] = 0; w[11] = 0
@@ -89,9 +97,9 @@ class TestEngineAgreement:
         cres = gcr.gcr_solve(cops, jnp.asarray(ps), jnp.asarray(oa), jnp.asarray(ob))
 
         rops = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
-        sig, amps = rgibbs.gcr_solve(
+        sig, amps, sk = rgibbs.gcr_solve(
             rops, jnp.asarray(ps)[None],
-            cplx.from_numpy(oa[None], jnp.float64),
+            cplx.from_numpy(to_delay(oa)[None], jnp.float64),
             cplx.from_numpy(ob[None], jnp.float64),
         )
         np.testing.assert_allclose(
@@ -128,13 +136,14 @@ class TestEngineAgreement:
         oa, ob = crandn(ntimes, nfreqs), crandn(ntimes, nfreqs)
         r64 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         r32 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float32)
-        s64, _ = rgibbs.gcr_solve(
-            r64, jnp.asarray(ps)[None], cplx.from_numpy(oa[None], jnp.float64),
+        s64, _, _ = rgibbs.gcr_solve(
+            r64, jnp.asarray(ps)[None],
+            cplx.from_numpy(to_delay(oa)[None], jnp.float64),
             cplx.from_numpy(ob[None], jnp.float64),
         )
-        s32, _ = rgibbs.gcr_solve(
+        s32, _, _ = rgibbs.gcr_solve(
             r32, jnp.asarray(ps, dtype=jnp.float32)[None],
-            cplx.from_numpy(oa[None], jnp.float32),
+            cplx.from_numpy(to_delay(oa)[None], jnp.float32),
             cplx.from_numpy(ob[None], jnp.float32),
         )
         ref = cplx.to_numpy(s64)
@@ -197,13 +206,14 @@ class TestRecursiveInverse:
         oa, ob = crandn(11, 32), crandn(11, 32)
         r64 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float64)
         r32 = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float32)
-        s64, _ = rgibbs.gcr_solve(
-            r64, jnp.asarray(ps)[None], cplx.from_numpy(oa[None], jnp.float64),
+        s64, _, _ = rgibbs.gcr_solve(
+            r64, jnp.asarray(ps)[None],
+            cplx.from_numpy(to_delay(oa)[None], jnp.float64),
             cplx.from_numpy(ob[None], jnp.float64),
         )
-        s32, _ = rgibbs.gcr_solve(
+        s32, _, _ = rgibbs.gcr_solve(
             r32, jnp.asarray(ps, dtype=jnp.float32)[None],
-            cplx.from_numpy(oa[None], jnp.float32),
+            cplx.from_numpy(to_delay(oa)[None], jnp.float32),
             cplx.from_numpy(ob[None], jnp.float32),
         )
         ref_ = cplx.to_numpy(s64)
