@@ -119,10 +119,12 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
 
     fn = rgibbs.run_chain_jit
 
+    all_unflagged = bool(np.all(w == 1))
+
     def once(rep, it):
         ps_f, samples = fn(
             jax.random.fold_in(jax.random.key(0), rep), ops_b, ps_b, prior_j,
-            it, False, 0.0, True, prior_idx, solver,
+            it, False, 0.0, True, prior_idx, solver, all_unflagged,
         )
         # Force full dependency chain: block_until_ready on this backend's
         # remote buffers can return before execution completes.

@@ -240,9 +240,12 @@ def gibbs_step(
     jitter: float = 0.0,
     prior_idx=None,
     solver: str = "auto",
+    all_unflagged: bool = False,
 ):
     """One Gibbs alternation for the whole batch (reference
-    pspec.py:377-490 semantics per chain)."""
+    pspec.py:377-490 semantics per chain). ``all_unflagged`` (static,
+    host-derived): when every chain has w == 1 the masked delay transform
+    used by ln_post equals ``sk`` exactly — skip recomputing it."""
     batch, ntimes, nfreqs = ops.d_w.shape
     k_oma, k_omb, k_ps = jax.random.split(key, 3)
 
@@ -279,10 +282,14 @@ def gibbs_step(
     noise_term = jnp.sum(
         ops.ni_diag[:, None, :] * resid.abs2(), axis=(1, 2)
     )
-    skm = cplx.cfft_rows(
-        C(signal_cr.re * ops.w[:, None, :], signal_cr.im * ops.w[:, None, :]),
-        ops.f,
-    )
+    if all_unflagged:
+        skm = sk
+    else:
+        skm = cplx.cfft_rows(
+            C(signal_cr.re * ops.w[:, None, :],
+              signal_cr.im * ops.w[:, None, :]),
+            ops.f,
+        )
     sig_term = jnp.sum(
         skm.abs2()
         / jnp.maximum(ps_new, jnp.finfo(ps_new.dtype).tiny)[:, None, :],
@@ -296,7 +303,7 @@ def gibbs_step(
 def run_chain(
     key, ops: RChainOperators, ps0, ps_prior, niter: int,
     map_estimate: bool = False, jitter: float = 0.0, store_cr: bool = True,
-    prior_idx=None, solver: str = "auto",
+    prior_idx=None, solver: str = "auto", all_unflagged: bool = False,
 ):
     """``lax.scan`` over iterations for the whole batch."""
 
@@ -304,7 +311,7 @@ def run_chain(
         ps_new, s = gibbs_step(
             jax.random.fold_in(key, i), ps, ops, ps_prior,
             map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
-            solver=solver,
+            solver=solver, all_unflagged=all_unflagged,
         )
         if not store_cr:
             zero = jnp.zeros((), dtype=ps_new.dtype)
@@ -322,5 +329,6 @@ def run_chain(
 
 run_chain_jit = jax.jit(
     run_chain,
-    static_argnames=("niter", "map_estimate", "jitter", "store_cr", "solver"),
+    static_argnames=("niter", "map_estimate", "jitter", "store_cr", "solver",
+                     "all_unflagged"),
 )

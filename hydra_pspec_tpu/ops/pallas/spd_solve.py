@@ -140,9 +140,16 @@ def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
     l_ref[:] = e_ref[:]
     x_ref[:] = b_ref[:]
 
+    # Half-restriction: once the active block passes a 128-lane boundary,
+    # the finished left half never changes again — restrict updates to the
+    # trailing 128-aligned region (static slice bounds per unrolled j).
+    def lo128(c):
+        return (c // 128) * 128
+
     # Factorization with the forward substitution fused into the sweep.
     for j in range(nblocks):
         c0 = j * NB
+        r0 = lo128(c0 + NB)  # static 128-aligned start of trailing rows
         ajj = l_ref[:, c0 : c0 + NB, c0 : c0 + NB]
         ljj = _chol_block(ajj)
         inv_ljj = _inv_lower_block(ljj)
@@ -159,20 +166,25 @@ def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
         if j + 1 < nblocks:
             # rank-NB trailing update (masked rows => zero contributions
             # outside the trailing submatrix)
-            l_ref[:] = l_ref[:] - _bmm(lcol, jnp.swapaxes(lcol, 1, 2))
-            x_ref[:] = x_ref[:] - _bmm(lcol, yj)
+            lc_t = lcol[:, r0:, :]
+            l_ref[:, r0:, r0:] = l_ref[:, r0:, r0:] - _bmm(
+                lc_t, jnp.swapaxes(lc_t, 1, 2)
+            )
+            x_ref[:, r0:, :] = x_ref[:, r0:, :] - _bmm(lc_t, yj)
 
-    # Backward substitution.
+    # Backward substitution (updates touch only rows above the block).
     for j in range(nblocks - 1, -1, -1):
         c0 = j * NB
         inv_ljj = invd_ref[:, c0 : c0 + NB, :]
         xj = _bmm(jnp.swapaxes(inv_ljj, 1, 2), x_ref[:, c0 : c0 + NB, :])
         x_ref[:, c0 : c0 + NB, :] = xj
         if j > 0:
-            # rows above get L^T contributions: L^T[above,blk] = L[blk,above]^T
-            lrow = l_ref[:, c0 : c0 + NB, :]
-            lrow = jnp.where(col_ids < c0, lrow, 0.0)
-            x_ref[:] = x_ref[:] - _bmm(jnp.swapaxes(lrow, 1, 2), xj)
+            r1 = min(lo128(c0) + 128, n)  # rows above c0 live in [0, r1)
+            lrow = l_ref[:, c0 : c0 + NB, :r1]
+            lrow = jnp.where(col_ids[:, :, :r1] < c0, lrow, 0.0)
+            x_ref[:, :r1, :] = x_ref[:, :r1, :] - _bmm(
+                jnp.swapaxes(lrow, 1, 2), xj
+            )
 
 
 def _pad_to(x, axis, mult):

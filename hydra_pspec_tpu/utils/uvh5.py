@@ -183,3 +183,99 @@ def collapse_flags_any_time(flags: np.ndarray) -> np.ndarray:
     channel, else 1 (the driver's w_any collapse, run-hydra-pspec.py:529-535;
     input uses the uvh5 convention True = flagged)."""
     return (~np.any(flags, axis=0)).astype(float)
+
+
+def write_uvh5(
+    path,
+    vis_by_baseline,
+    freqs_hz,
+    times=None,
+    pols=("xx",),
+    flags_by_baseline=None,
+    nsamples_by_baseline=None,
+    telescope_name="synthetic",
+):
+    """Write a minimal uvh5 file readable by :func:`read_uvh5` (and by
+    pyuvdata for the fields it requires at read time).
+
+    ``vis_by_baseline``: dict {(ant1, ant2): (Ntimes, Nfreqs) complex} —
+    per-pol data is replicated across the requested ``pols``.
+
+    The reference has no writer (its scaling fixture replicates .npy files,
+    set_up_scaling_data.py); this enables fabricating multi-baseline inputs
+    for driver-level tests and scaling runs.
+    """
+    import h5py
+
+    pairs = sorted(vis_by_baseline)
+    first = vis_by_baseline[pairs[0]]
+    ntimes, nfreqs = first.shape
+    freqs_hz = np.asarray(freqs_hz, dtype=float).reshape(-1)
+    assert freqs_hz.size == nfreqs
+    if times is None:
+        times = 2459000.0 + np.arange(ntimes) / 86400.0
+    npols = len(pols)
+    nblts = ntimes * len(pairs)
+
+    ant1 = np.repeat([p[0] for p in pairs], ntimes)
+    ant2 = np.repeat([p[1] for p in pairs], ntimes)
+    time_arr = np.tile(times, len(pairs))
+    ants = sorted({a for p in pairs for a in p})
+
+    vis = np.zeros((nblts, nfreqs, npols), dtype=np.complex128)
+    flg = np.zeros((nblts, nfreqs, npols), dtype=bool)
+    nsm = np.ones((nblts, nfreqs, npols), dtype=np.float32)
+    for i, p in enumerate(pairs):
+        sl = slice(i * ntimes, (i + 1) * ntimes)
+        vis[sl] = vis_by_baseline[p][:, :, None]
+        if flags_by_baseline and p in flags_by_baseline:
+            flg[sl] = flags_by_baseline[p][:, :, None]
+        if nsamples_by_baseline and p in nsamples_by_baseline:
+            nsm[sl] = nsamples_by_baseline[p][:, :, None]
+
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr["Nants_data"] = len(ants)
+        hdr["Nants_telescope"] = len(ants)
+        hdr["Nbls"] = len(pairs)
+        hdr["Nblts"] = nblts
+        hdr["Nfreqs"] = nfreqs
+        hdr["Npols"] = npols
+        hdr["Nspws"] = 1
+        hdr["Ntimes"] = ntimes
+        hdr["ant_1_array"] = ant1
+        hdr["ant_2_array"] = ant2
+        hdr["antenna_names"] = np.array(
+            [f"ant{a}".encode() for a in ants]
+        )
+        hdr["antenna_numbers"] = np.asarray(ants, dtype=np.int32)
+        hdr["antenna_positions"] = np.zeros((len(ants), 3))
+        hdr["channel_width"] = np.full(
+            nfreqs, freqs_hz[1] - freqs_hz[0] if nfreqs > 1 else 1e5
+        )
+        hdr["freq_array"] = freqs_hz
+        hdr["flex_spw_id_array"] = np.zeros(nfreqs, dtype=np.int64)
+        hdr["integration_time"] = np.full(nblts, 10.0)
+        hdr["lst_array"] = np.tile(
+            np.linspace(0, 2 * np.pi * ntimes / 86400, ntimes), len(pairs)
+        )
+        hdr["polarization_array"] = np.asarray(
+            [POL_NUM[p] for p in pols], dtype=np.int64
+        )
+        hdr["spw_array"] = np.asarray([0], dtype=np.int64)
+        hdr["telescope_name"] = np.bytes_(telescope_name)
+        hdr["latitude"] = 0.0
+        hdr["longitude"] = 0.0
+        hdr["altitude"] = 0.0
+        hdr["time_array"] = time_arr
+        hdr["uvw_array"] = np.zeros((nblts, 3))
+        hdr["history"] = np.bytes_("hydra_pspec_tpu synthetic uvh5")
+        hdr["instrument"] = np.bytes_(telescope_name)
+        hdr["object_name"] = np.bytes_("zenith")
+        hdr["phase_type"] = np.bytes_("drift")
+        hdr["vis_units"] = np.bytes_("Jy")
+        data = f.create_group("Data")
+        data.create_dataset("visdata", data=vis)
+        data.create_dataset("flags", data=flg)
+        data.create_dataset("nsamples", data=nsm)
+    return path

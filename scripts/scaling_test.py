@@ -18,6 +18,10 @@ from pathlib import Path
 
 import numpy as np
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 
 def main():
     p = argparse.ArgumentParser()
