@@ -170,5 +170,43 @@ def main():
     print(json.dumps(result))
 
 
+def _supervise():
+    """Watchdog wrapper: the axon remote compiler occasionally hangs
+    indefinitely; run the measurement in a child process with a timeout and
+    retry so an unattended bench invocation still produces its JSON line.
+    """
+    import subprocess
+
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    for attempt in range(3):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__],
+                env=env, timeout=timeout_s, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt + 1} timed out after "
+                  f"{timeout_s}s (remote compile hang?) — retrying",
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"[bench] attempt {attempt + 1} failed "
+              f"(rc={proc.returncode}) — retrying", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"gibbs_iterations_per_s_{N_BASELINES}bl_1chip",
+        "value": 0.0, "unit": "iter/s", "vs_baseline": 0.0,
+        "detail": {"error": "all bench attempts timed out/failed"},
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())
