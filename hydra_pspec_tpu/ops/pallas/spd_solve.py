@@ -134,55 +134,47 @@ def _spd_kernel(e_ref, b_ref, x_ref, l_ref, invd_ref):
     scratch l (bt,N,N), invd (bt,N,NB)."""
     bt, n, _ = e_ref.shape
     nblocks = n // NB
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
 
     l_ref[:] = e_ref[:]
     x_ref[:] = b_ref[:]
 
-    # Half-restriction: once the active block passes a 128-lane boundary,
-    # the finished left half never changes again — restrict updates to the
-    # trailing 128-aligned region (static slice bounds per unrolled j).
-    def lo128(c):
-        return (c // 128) * 128
+    # All slice bounds below are Python ints (the block loops are
+    # unrolled), so every operation touches exactly the live triangular
+    # region — no masking, no wasted FLOPs, and static offsets satisfy
+    # Mosaic's alignment rules at any granularity.
 
     # Factorization with the forward substitution fused into the sweep.
     for j in range(nblocks):
         c0 = j * NB
-        r0 = lo128(c0 + NB)  # static 128-aligned start of trailing rows
-        ajj = l_ref[:, c0 : c0 + NB, c0 : c0 + NB]
+        c1 = c0 + NB
+        ajj = l_ref[:, c0:c1, c0:c1]
         ljj = _chol_block(ajj)
         inv_ljj = _inv_lower_block(ljj)
-        invd_ref[:, c0 : c0 + NB, :] = inv_ljj
+        invd_ref[:, c0:c1, :] = inv_ljj
+        l_ref[:, c0:c1, c0:c1] = ljj
 
-        panel = l_ref[:, :, c0 : c0 + NB]
-        below = jnp.where(row_ids >= c0 + NB, panel, 0.0)
-        lcol = _bmm(below, jnp.swapaxes(inv_ljj, 1, 2))
-        # write the finished column block: L_below, then L_jj in its rows
-        l_ref[:, :, c0 : c0 + NB] = lcol
-        l_ref[:, c0 : c0 + NB, c0 : c0 + NB] = ljj
-        yj = _bmm(inv_ljj, x_ref[:, c0 : c0 + NB, :])
-        x_ref[:, c0 : c0 + NB, :] = yj
+        yj = _bmm(inv_ljj, x_ref[:, c0:c1, :])
+        x_ref[:, c0:c1, :] = yj
         if j + 1 < nblocks:
-            # rank-NB trailing update (masked rows => zero contributions
-            # outside the trailing submatrix)
-            lc_t = lcol[:, r0:, :]
-            l_ref[:, r0:, r0:] = l_ref[:, r0:, r0:] - _bmm(
-                lc_t, jnp.swapaxes(lc_t, 1, 2)
+            below = l_ref[:, c1:, c0:c1]
+            lcol = _bmm(below, jnp.swapaxes(inv_ljj, 1, 2))
+            l_ref[:, c1:, c0:c1] = lcol
+            # rank-NB trailing update on the exact trailing submatrix
+            l_ref[:, c1:, c1:] = l_ref[:, c1:, c1:] - _bmm(
+                lcol, jnp.swapaxes(lcol, 1, 2)
             )
-            x_ref[:, r0:, :] = x_ref[:, r0:, :] - _bmm(lc_t, yj)
+            x_ref[:, c1:, :] = x_ref[:, c1:, :] - _bmm(lcol, yj)
 
     # Backward substitution (updates touch only rows above the block).
     for j in range(nblocks - 1, -1, -1):
         c0 = j * NB
-        inv_ljj = invd_ref[:, c0 : c0 + NB, :]
-        xj = _bmm(jnp.swapaxes(inv_ljj, 1, 2), x_ref[:, c0 : c0 + NB, :])
-        x_ref[:, c0 : c0 + NB, :] = xj
+        c1 = c0 + NB
+        inv_ljj = invd_ref[:, c0:c1, :]
+        xj = _bmm(jnp.swapaxes(inv_ljj, 1, 2), x_ref[:, c0:c1, :])
+        x_ref[:, c0:c1, :] = xj
         if j > 0:
-            r1 = min(lo128(c0) + 128, n)  # rows above c0 live in [0, r1)
-            lrow = l_ref[:, c0 : c0 + NB, :r1]
-            lrow = jnp.where(col_ids[:, :, :r1] < c0, lrow, 0.0)
-            x_ref[:, :r1, :] = x_ref[:, :r1, :] - _bmm(
+            lrow = l_ref[:, c0:c1, :c0]   # L[block, above] == L^T[above, block]^T
+            x_ref[:, :c0, :] = x_ref[:, :c0, :] - _bmm(
                 jnp.swapaxes(lrow, 1, 2), xj
             )
 

@@ -231,7 +231,11 @@ def run_baselines(
         host_chunks.append(_to_host(samples, engine, store_cr))
         done += n
         if verbose:
-            print(f"iter {done}/{niter}")
+            hc = host_chunks[-1]
+            print(
+                f"iter {done}/{niter}  chisq={float(np.mean(hc.chisq)):.4f}  "
+                f"ln_post={float(np.mean(hc.ln_post[-1])):.1f}"
+            )
         t0 = time.perf_counter()
         if jobs[0].out_dir is not None:
             _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs)
