@@ -280,3 +280,26 @@ def _stack_chunks(chunks, ops, store_cr):
         )
     )
     return signal_cr, S_final, signal_ps, fg_amps, chisq, ln_post
+
+
+def gcr_fgmodes(key, vis, flags, signal_S, fgmodes, Ninv, map_estimate=False):
+    """API mirror of reference ``gcr_fgmodes`` (pspec.py:238-310): draw
+    signal + foreground-amplitude constrained realizations for every time
+    sample of one baseline. Returns ``(Ntimes, Nfreqs + Nmodes)`` complex
+    samples packed like the reference's solver output (signal columns then
+    amplitude columns). Takes model inputs directly instead of the
+    reference's precomputed ``matrices`` list (which existed only to hoist
+    sqrtm/pinv out of the pool loop — both gone here)."""
+    import numpy as _np
+
+    ops = build_chain_operators(vis, flags, fgmodes, Ninv)
+    ps = initial_ps(jnp.asarray(signal_S), ops.fourier_op)
+    ntimes, nfreqs = ops.d_w.shape
+    if map_estimate:
+        omega_a = omega_b = None
+    else:
+        k_a, k_b = jax.random.split(key)
+        omega_a = jax.random.normal(k_a, (ntimes, nfreqs), dtype=ops.d_w.dtype)
+        omega_b = jax.random.normal(k_b, (ntimes, nfreqs), dtype=ops.d_w.dtype)
+    res = gcr_solve(ops, ps, omega_a, omega_b)
+    return jnp.concatenate([res.signal_cr, res.fg_amps], axis=-1)

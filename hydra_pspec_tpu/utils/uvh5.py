@@ -279,3 +279,11 @@ def write_uvh5(
         data.create_dataset("flags", data=flg)
         data.create_dataset("nsamples", data=nsm)
     return path
+
+
+def form_pseudo_stokes(vis_xx, vis_yy, convention: float = 1.0):
+    """Pseudo-Stokes I from XX and YY visibility arrays:
+    ``pI = convention * (XX + YY)`` (reference utils.py:105-132 operates on
+    a pyuvdata.UVData in place; here arrays in, array out — the reader
+    applies the same convention when both polarizations are present)."""
+    return convention * (np.asarray(vis_xx) + np.asarray(vis_yy))

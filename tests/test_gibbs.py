@@ -197,3 +197,25 @@ def test_chain_stationary_distribution_white_noise():
     assert np.all(mean_ps[keep] > truth * 0.7), mean_ps / truth
     assert np.all(mean_ps[keep] < truth * 1.4), mean_ps / truth
     assert np.all(np.isfinite(mean_ps))
+
+
+def test_gcr_fgmodes_api_mirror():
+    """Reference-shaped entry point: (Ntimes, Nfreqs + Nmodes) packed
+    solution, MAP mode matching the exact solver."""
+    d, w, fg, ninv, ps, _ = small_problem()
+    ntimes, nfreqs = d.shape
+    nmodes = fg.shape[1]
+    out = gibbs.gcr_fgmodes(
+        jax.random.key(2), d, w, np.eye(nfreqs), fg, np.diag(ninv)
+    )
+    assert out.shape == (ntimes, nfreqs + nmodes)
+    assert np.isfinite(np.asarray(out)).all()
+    m1 = gibbs.gcr_fgmodes(
+        jax.random.key(3), d, w, np.eye(nfreqs), fg, np.diag(ninv),
+        map_estimate=True,
+    )
+    m2 = gibbs.gcr_fgmodes(
+        jax.random.key(4), d, w, np.eye(nfreqs), fg, np.diag(ninv),
+        map_estimate=True,
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=0)

@@ -118,3 +118,9 @@ def test_scaling_fabricator_and_multibaseline_cli(tmp_path):
     means = np.stack([d.mean(axis=0) for d in dps])
     spread = means.std(axis=0) / np.maximum(means.mean(axis=0), 1e-30)
     assert np.median(spread) < 1.0
+
+
+def test_form_pseudo_stokes_function():
+    xx, yy = crandn(3, 4), crandn(3, 4)
+    out = uv.form_pseudo_stokes(xx, yy, convention=0.5)
+    np.testing.assert_allclose(out, 0.5 * (xx + yy), atol=1e-15)
