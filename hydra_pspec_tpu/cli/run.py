@@ -40,7 +40,9 @@ def build_parser():
             continue
         arg = f"--{f.name}"
         if f.type is bool or isinstance(f.default, bool):
-            p.add_argument(arg, action="store_true", default=None)
+            # --X / --no-X so defaults-True knobs (store_cr) can be disabled
+            p.add_argument(arg, action=argparse.BooleanOptionalAction,
+                           default=None)
         elif f.name in ("Niter", "Nfgmodes", "n_ps_prior_bins", "seed",
                         "write_Niter", "Nproc", "nchains", "checkpoint_Niter"):
             p.add_argument(arg, type=int, default=None)
@@ -211,7 +213,6 @@ def main(argv=None):
     )
     prior = build_prior(cfg, nfreqs)
 
-    t_scatter0 = time.perf_counter()  # data staging to devices happens lazily
     results, timings = run_baselines(
         jobs,
         prior,
@@ -225,11 +226,13 @@ def main(argv=None):
         dtype=None,
         engine=cfg.engine,
         solver=cfg.solver,
+        checkpoint_niter=cfg.checkpoint_Niter,
         resume=cfg.resume,
+        run_dir=out_dir,
         verbose=cfg.verbose and is_rank0,
     )
     t_process = timings["process"]
-    t_scatter = 0.0
+    t_scatter = timings["scatter"]
 
     # Convergence diagnostic over chains (new capability).
     if cfg.nchains > 1 and is_rank0:

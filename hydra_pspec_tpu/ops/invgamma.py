@@ -29,16 +29,18 @@ from .special import gammaincc_fixed
 _NGRID = 1000  # matches the reference's default interpolation grid
 
 
-def invgamma_cdf(x, alpha, beta):
+def invgamma_cdf(x, alpha, beta, iters=None):
     """CDF of InverseGamma(alpha, scale=beta):
     ``P(X <= x) = Q(alpha, beta / x)`` (upper regularized gamma).
     Uses the fixed-trip-count implementation — jax.scipy's gammaincc is a
-    data-dependent while_loop that dominated TPU iteration time."""
-    return gammaincc_fixed(alpha, beta / x)
+    data-dependent while_loop that dominated TPU iteration time. ``iters``:
+    static trip-count pair for alpha > ~2000 (ops.special.iters_for_shape)."""
+    return gammaincc_fixed(alpha, beta / x, iters=iters)
 
 
-@partial(jax.jit, static_argnames=("ngrid",))
-def truncated_invgamma_sample(u, alpha, beta, lo, hi, ngrid: int = _NGRID):
+@partial(jax.jit, static_argnames=("ngrid", "iters"))
+def truncated_invgamma_sample(u, alpha, beta, lo, hi, ngrid: int = _NGRID,
+                              iters=None):
     """Inverse-CDF draw from InverseGamma(alpha, scale=beta) truncated to
     ``[lo, hi]``, given a uniform variate ``u`` in [0, 1).
 
@@ -59,7 +61,7 @@ def truncated_invgamma_sample(u, alpha, beta, lo, hi, ngrid: int = _NGRID):
     log_lo = jnp.log10(lo)[..., None]
     log_hi = jnp.log10(hi)[..., None]
     x = 10.0 ** (log_lo + (log_hi - log_lo) * t)
-    cdf = invgamma_cdf(x, alpha[..., None], beta[..., None])
+    cdf = invgamma_cdf(x, alpha[..., None], beta[..., None], iters=iters)
     cdf = cdf - cdf[..., :1]
     denom = jnp.maximum(cdf[..., -1:], jnp.finfo(cdf.dtype).tiny)
     cdf = cdf / denom
@@ -196,7 +198,7 @@ def sample_bandpowers(key, sk, prior, prior_idx=None):
     return sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx)
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(2,))
 def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
                                 table=None):
     """Bandpower conditional draw from the sufficient statistic
@@ -212,6 +214,11 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
     """
     real_dtype = beta.dtype
     alpha = jnp.asarray(ntimes - 1.0, dtype=real_dtype)
+    # ntimes is static, so the trip counts of the gammaincc evaluation can
+    # follow the shape parameter (the fixed defaults degrade above a~2000).
+    from .special import iters_for_shape
+
+    gi_iters = iters_for_shape(float(ntimes) + 1.0)
 
     k_gamma, k_u = jax.random.split(key)
     # Unbounded: x = beta / Gamma(alpha, 1). beta may carry leading batch
@@ -222,7 +229,8 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
     def draw_trunc(u, b, lo, hi):
         if table is not None:
             return truncated_invgamma_sample_table(u, b, lo, hi, table)
-        return truncated_invgamma_sample(u, alpha + 1.0, b, lo, hi)
+        return truncated_invgamma_sample(u, alpha + 1.0, b, lo, hi,
+                                         iters=gi_iters)
 
     if prior_idx is None:
         u = jax.random.uniform(k_u, beta.shape, dtype=real_dtype)

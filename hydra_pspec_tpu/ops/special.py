@@ -8,8 +8,12 @@ v5e vs <1 ms for all the linear algebra). This implementation uses the
 classic series / continued-fraction split with a *static* iteration count —
 a dense, branch-free ``fori_loop`` the VPU chews through in microseconds.
 
-Accuracy: ~1e-6 relative against scipy for a in [1, 1e4] over the x ranges
-the sampler produces (pinned in tests/test_special.py).
+Accuracy: both branches converge in O(sqrt(a)) iterations near the x ~ a
+transition, so the *default* static counts (256 / 128) give ~1e-6 relative
+accuracy against scipy for a up to ~2000; for larger shape parameters pass
+``iters ~ 7 sqrt(a)`` explicitly (callers with a static shape parameter —
+the bandpower sampler's alpha = Ntimes - 1 — use :func:`iters_for_shape`).
+Pinned in tests/test_special.py.
 """
 from functools import partial
 
@@ -18,6 +22,17 @@ import jax.numpy as jnp
 
 _SERIES_ITERS = 256
 _CF_ITERS = 128
+
+
+def iters_for_shape(a_max: float) -> tuple:
+    """Static (series, cf) trip counts sufficient for shape parameters up
+    to ``a_max`` (~1e-6 relative; the series needs ~sqrt(2 a ln 1/eps)
+    terms at the x ~ a transition point)."""
+    import math
+
+    s = max(_SERIES_ITERS, int(7.0 * math.sqrt(max(a_max, 1.0))) + 32)
+    c = max(_CF_ITERS, int(4.0 * math.sqrt(max(a_max, 1.0))) + 32)
+    return s, c
 
 
 def _log_prefactor(a, x):
@@ -66,12 +81,15 @@ def _upper_cf(a, x, iters=_CF_ITERS):
     return jnp.exp(_log_prefactor(a, x)) * h
 
 
-@jax.jit
-def gammaincc_fixed(a, x):
+@partial(jax.jit, static_argnames=("iters",))
+def gammaincc_fixed(a, x, iters=None):
     """Regularized upper incomplete gamma Q(a, x), static iteration count.
     Both branches are evaluated (no data-dependent control flow) and the
     applicable one is selected — on the VPU that is far cheaper than a
-    convergence-tested while_loop."""
+    convergence-tested while_loop. ``iters``: optional static
+    ``(series_iters, cf_iters)`` pair for large shape parameters (see
+    :func:`iters_for_shape`)."""
+    s_it, c_it = iters if iters is not None else (_SERIES_ITERS, _CF_ITERS)
     a = jnp.asarray(a)
     x = jnp.asarray(x)
     dt = jnp.result_type(a.dtype, x.dtype, jnp.float32)
@@ -81,14 +99,14 @@ def gammaincc_fixed(a, x):
     # is discarded for out-of-region lanes but must not produce inf/nan.
     xs = jnp.minimum(x, a + 1.0)
     xc = jnp.maximum(x, a + 1.0)
-    q_series = 1.0 - _lower_series(a, xs)
-    q_cf = _upper_cf(a, xc)
+    q_series = 1.0 - _lower_series(a, xs, iters=s_it)
+    q_cf = _upper_cf(a, xc, iters=c_it)
     q = jnp.where(use_series, q_series, q_cf)
     q = jnp.where(x <= 0, jnp.ones_like(q), q)
     return jnp.clip(q, 0.0, 1.0)
 
 
-@jax.jit
-def gammainc_fixed(a, x):
+@partial(jax.jit, static_argnames=("iters",))
+def gammainc_fixed(a, x, iters=None):
     """Regularized lower incomplete gamma P(a, x)."""
-    return 1.0 - gammaincc_fixed(a, x)
+    return 1.0 - gammaincc_fixed(a, x, iters=iters)

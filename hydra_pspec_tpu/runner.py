@@ -72,11 +72,11 @@ def _initial_ps_host(S_initial, nfreqs):
 
 
 def select_engine(engine: str = "auto") -> str:
+    """x64 mode selects the complex parity engine; otherwise the real-pair
+    engine runs everywhere (CPU included — it is the f32 production path)."""
     if engine != "auto":
         return engine
-    if jax.config.jax_enable_x64:
-        return "complex"
-    return "real" if jax.default_backend() != "cpu" else "real"
+    return "complex" if jax.config.jax_enable_x64 else "real"
 
 
 def run_baselines(
@@ -95,11 +95,18 @@ def run_baselines(
     solver: str = "auto",
     use_mesh: bool = True,
     checkpoint: bool = True,
+    checkpoint_niter: int = 0,
     resume: bool = False,
+    run_dir: Optional[Path] = None,
     verbose: bool = False,
 ):
     """Run Gibbs chains for every (baseline, chain) pair; returns
-    ``(results, timings)`` with one :class:`RunResult` per pair."""
+    ``(results, timings)`` with one :class:`RunResult` per pair.
+
+    ``checkpoint_niter``: checkpoint cadence in iterations (rounded up to
+    whole ``write_niter`` chunks); 0 = checkpoint every chunk.
+    ``run_dir``: where checkpoint.npz lives (defaults to the parent of the
+    first baseline's out_dir — the run's results directory)."""
     if map_estimate:
         niter = 1
         write_niter = 1
@@ -107,6 +114,8 @@ def run_baselines(
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
     meta = [(ib, ic) for ib in range(nbl) for ic in range(nchains)]
+    if run_dir is None and jobs[0].out_dir is not None:
+        run_dir = Path(jobs[0].out_dir).parent
 
     prior = jnp.asarray(np.asarray(ps_prior, dtype=np.float64))
     prior_idx = np.nonzero(np.any(np.asarray(ps_prior) > 0, axis=0))[0]
@@ -149,30 +158,58 @@ def run_baselines(
         ]
     )
 
-    # --- shard the batch over the device mesh ---------------------------
+    # --- pad + shard the batch over the device mesh ---------------------
+    # The mesh always engages: a batch not divisible by the device count is
+    # padded with dummy chains (copies of element 0) whose outputs are
+    # dropped on the host (pmesh.pad_batch contract).
+    n_real = len(meta)
+    t_scatter0 = time.perf_counter()
     if use_mesh and len(jax.devices()) > 1:
         dev_mesh = pmesh.make_mesh()
         nsh = len(dev_mesh.devices.flat)
-        if len(meta) % nsh == 0:
+        n_padded = pmesh.pad_batch(n_real, nsh)
+        if n_padded != n_real:
+            pad = n_padded - n_real
+
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
+                )
+
             if engine == "real":
-                shared = {"f": ops_b.f, "igt": ops_b.igt}
-                body = pmesh.shard_batch(
-                    ops_b._replace(f=None, igt=None), dev_mesh
-                )
-                rep = pmesh.replicated_sharding(dev_mesh)
-                ops_b = body._replace(
-                    f=jax.tree.map(lambda x: jax.device_put(x, rep), shared["f"]),
-                    igt=jax.tree.map(lambda x: jax.device_put(x, rep), shared["igt"]),
-                )
+                ops_b = jax.tree.map(
+                    _pad, ops_b._replace(f=None, igt=None)
+                )._replace(f=ops_b.f, igt=ops_b.igt)
             else:
-                fop = jax.device_put(
-                    ops_b.fourier_op, pmesh.replicated_sharding(dev_mesh)
-                )
-                ops_b = pmesh.shard_batch(
-                    ops_b._replace(fourier_op=None), dev_mesh
-                )._replace(fourier_op=fop)
-            ps_b = pmesh.shard_batch(ps_b, dev_mesh)
-            keys_b = pmesh.shard_batch(keys_b, dev_mesh)
+                ops_b = jax.tree.map(
+                    _pad, ops_b._replace(fourier_op=None)
+                )._replace(fourier_op=ops_b.fourier_op)
+            ps_b = _pad(ps_b)
+            keys_b = _pad(keys_b)
+        if engine == "real":
+            shared = {"f": ops_b.f, "igt": ops_b.igt}
+            body = pmesh.shard_batch(
+                ops_b._replace(f=None, igt=None), dev_mesh
+            )
+            rep = pmesh.replicated_sharding(dev_mesh)
+            ops_b = body._replace(
+                f=jax.tree.map(lambda x: jax.device_put(x, rep), shared["f"]),
+                igt=jax.tree.map(lambda x: jax.device_put(x, rep), shared["igt"]),
+            )
+        else:
+            fop = jax.device_put(
+                ops_b.fourier_op, pmesh.replicated_sharding(dev_mesh)
+            )
+            ops_b = pmesh.shard_batch(
+                ops_b._replace(fourier_op=None), dev_mesh
+            )._replace(fourier_op=fop)
+        ps_b = pmesh.shard_batch(ps_b, dev_mesh)
+        keys_b = pmesh.shard_batch(keys_b, dev_mesh)
+    # Staging is async; block so t_scatter measures real transfer time
+    # (reference timers: run-hydra-pspec.py:485-486).
+    jax.block_until_ready((ps_b, keys_b))
+    jax.block_until_ready([x for x in jax.tree.leaves(ops_b) if x is not None])
+    t_scatter = time.perf_counter() - t_scatter0
 
     # --- per-chunk step functions ---------------------------------------
     if engine == "real":
@@ -204,20 +241,47 @@ def run_baselines(
         batch_axis = 0
 
     # --- resume ----------------------------------------------------------
+    # A resumed run must end with COMPLETE output files: the pre-checkpoint
+    # samples are reloaded from disk and prepended to every flush/collect,
+    # and the checkpoint lives at the run level (run_dir), not under any
+    # baseline's chain dir.
     start_iter = 0
-    if resume and jobs[0].out_dir is not None:
-        ck = hio.load_checkpoint(
-            _chain_dir(jobs[0].out_dir, 0, nchains)
-        )
-        if ck is not None and ck["ps"].shape == ps_b.shape:
-            start_iter = ck["iteration"]
-            ps_b = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
-            if verbose:
-                print(f"resuming from iteration {start_iter}")
+    prefix = None
+    if resume and run_dir is not None:
+        ck = hio.load_checkpoint(run_dir)
+        if ck is not None:
+            consistent = (
+                ck["ps"].shape == (n_real, nfreqs)
+                and ck["extra"].get("engine", engine) == engine
+                and ck["extra"].get("nchains", nchains) == nchains
+            )
+            if consistent:
+                prefix = _load_prefix(
+                    jobs, meta, nchains, ck["iteration"], store_cr
+                )
+            if prefix is not None:
+                start_iter = ck["iteration"]
+                ckps = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
+                npad = ps_b.shape[0] - n_real
+                if npad:
+                    ckps = jnp.concatenate(
+                        [ckps, jnp.broadcast_to(ckps[:1], (npad, nfreqs))], 0
+                    )
+                ps_b = jax.device_put(ckps, ps_b.sharding)
+                if verbose:
+                    print(f"resuming from iteration {start_iter}")
+            elif verbose:
+                print(
+                    "checkpoint inconsistent with this run's jobs/outputs; "
+                    "starting fresh"
+                )
 
     # --- chunked scan with host flushes ---------------------------------
     host_chunks = []
     write_time = 0.0
+    ckpt_every = max(1, -(-checkpoint_niter // write_niter)) \
+        if checkpoint_niter > 0 else 1
+    n_chunks = 0
     t0_proc = time.perf_counter()
     done = start_iter
     while done < niter:
@@ -228,35 +292,44 @@ def run_baselines(
         else:
             chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
             ps_b, samples = run_chunk(chunk_keys, ps_b, n)
-        host_chunks.append(_to_host(samples, engine, store_cr))
+        host_chunks.append(_to_host(samples, engine, store_cr, batch_axis, n_real))
         done += n
+        n_chunks += 1
         if verbose:
             hc = host_chunks[-1]
+            lnp_last = np.take(hc.ln_post, -1, axis=1 - batch_axis)
             print(
                 f"iter {done}/{niter}  chisq={float(np.mean(hc.chisq)):.4f}  "
-                f"ln_post={float(np.mean(hc.ln_post[-1])):.1f}"
+                f"ln_post={float(np.mean(lnp_last)):.1f}"
             )
         t0 = time.perf_counter()
         if jobs[0].out_dir is not None:
-            _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs)
-            if checkpoint:
+            _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr,
+                   nfreqs, prefix)
+            if checkpoint and run_dir is not None and (
+                n_chunks % ckpt_every == 0 or done >= niter
+            ):
                 hio.save_checkpoint(
-                    _chain_dir(jobs[0].out_dir, 0, nchains),
+                    run_dir,
                     iteration=done,
-                    ps=np.asarray(ps_b),
+                    ps=np.asarray(jax.device_get(ps_b))[:n_real],
                     key_data=jax.random.key_data(base_key),
-                    extra={"niter": niter, "engine": engine},
+                    extra={"niter": niter, "engine": engine,
+                           "nchains": nchains},
                 )
         write_time += time.perf_counter() - t0
     t_process = time.perf_counter() - t0_proc
 
     results = _collect(
-        jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs, write_time
+        jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
+        write_time, prefix
     )
     timings = {
         "process": t_process,
         "write": write_time,
+        "scatter": t_scatter,
         "niter": niter,
+        "start_iter": start_iter,
         "batch": len(meta),
         "engine": engine,
     }
@@ -274,19 +347,29 @@ class _HostSample:
         self.ln_post = ln_post
 
 
-def _to_host(samples, engine, store_cr):
+def _trim(arr, batch_axis, n_real):
+    """Drop mesh-padding dummy chains (batch axis beyond n_real)."""
+    if arr is None or arr.ndim <= batch_axis or arr.shape[batch_axis] == n_real:
+        return arr
+    sl = [slice(None)] * arr.ndim
+    sl[batch_axis] = slice(0, n_real)
+    return arr[tuple(sl)]
+
+
+def _to_host(samples, engine, store_cr, batch_axis, n_real):
     if engine == "real":
         cr = cplx.to_numpy(samples.signal_cr) if store_cr else None
         fga = cplx.to_numpy(samples.fg_amps) if store_cr else None
     else:
         cr = np.asarray(samples.signal_cr) if store_cr else None
         fga = np.asarray(samples.fg_amps) if store_cr else None
+    t = lambda a: _trim(a, batch_axis, n_real)
     return _HostSample(
-        cr,
-        np.asarray(samples.ps),
-        fga,
-        np.asarray(samples.chisq),
-        np.asarray(samples.ln_post),
+        t(cr),
+        t(np.asarray(samples.ps)),
+        t(fga),
+        t(np.asarray(samples.chisq)),
+        t(np.asarray(samples.ln_post)),
     )
 
 
@@ -303,22 +386,54 @@ def _take(arr, idx, batch_axis):
     return np.take(arr, idx, axis=batch_axis)
 
 
-def _slice_batch(host_chunks, idx, batch_axis, store_cr):
-    """Per-(baseline, chain) arrays with iterations on axis 0."""
-    ps = np.concatenate([_take(c.ps, idx, batch_axis) for c in host_chunks])
-    lnp = np.concatenate(
-        [np.atleast_1d(_take(c.ln_post, idx, batch_axis)) for c in host_chunks]
-    )
+def _slice_batch(host_chunks, idx, batch_axis, store_cr, prefix=None):
+    """Per-(baseline, chain) arrays with iterations on axis 0;
+    ``prefix`` (resume) holds this chain's pre-checkpoint samples reloaded
+    from disk, prepended so a resumed run yields complete files."""
+    pre = prefix or {}
+
+    def cat(key, chunk_arrs):
+        parts = ([pre[key]] if key in pre else []) + chunk_arrs
+        return np.concatenate(parts)
+
+    ps = cat("signal_ps", [_take(c.ps, idx, batch_axis) for c in host_chunks])
+    lnp = cat("ln_post", [
+        np.atleast_1d(_take(c.ln_post, idx, batch_axis)) for c in host_chunks
+    ])
     if store_cr:
-        cr = np.concatenate([_take(c.signal_cr, idx, batch_axis) for c in host_chunks])
-        fga = np.concatenate([_take(c.fg_amps, idx, batch_axis) for c in host_chunks])
-        chi = np.concatenate([_take(c.chisq, idx, batch_axis) for c in host_chunks])
+        cr = cat("signal_cr",
+                 [_take(c.signal_cr, idx, batch_axis) for c in host_chunks])
+        fga = cat("fg_amps",
+                  [_take(c.fg_amps, idx, batch_axis) for c in host_chunks])
+        chi = cat("chisq",
+                  [_take(c.chisq, idx, batch_axis) for c in host_chunks])
     else:
         cr = fga = None
-        chi = np.concatenate(
-            [np.atleast_1d(_take(c.chisq, idx, batch_axis)) for c in host_chunks]
-        )
+        chi = cat("chisq", [
+            np.atleast_1d(_take(c.chisq, idx, batch_axis)) for c in host_chunks
+        ])
     return ps, lnp, cr, fga, chi
+
+
+def _load_prefix(jobs, meta, nchains, start_iter, store_cr):
+    """Reload each chain's first ``start_iter`` samples from its output
+    directory for resume. Returns a list (one dict per batch index) or None
+    when any chain's files are missing/short — in which case the caller
+    starts from scratch rather than producing corrupt output."""
+    if start_iter == 0:
+        return None
+    keys = ["signal_ps", "ln_post"] + (
+        ["signal_cr", "fg_amps", "chisq"] if store_cr else ["chisq"]
+    )
+    prefix = []
+    for ib, ic in meta:
+        if jobs[ib].out_dir is None:
+            return None
+        s = hio.load_samples(_chain_dir(jobs[ib].out_dir, ic, nchains))
+        if any(k not in s or s[k].shape[0] < start_iter for k in keys):
+            return None
+        prefix.append({k: s[k][:start_iter] for k in keys})
+    return prefix
 
 
 def _final_S(ps_last, nfreqs):
@@ -327,12 +442,15 @@ def _final_S(ps_last, nfreqs):
     return F.conj().T @ np.diag(ps_last / nfreqs**2).astype(complex) @ F
 
 
-def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs):
+def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
+           prefix=None):
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
         if job.out_dir is None:
             continue
-        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, batch_axis, store_cr)
+        ps, lnp, cr, fga, chi = _slice_batch(
+            host_chunks, bidx, batch_axis, store_cr,
+            prefix[bidx] if prefix else None)
         d = _chain_dir(job.out_dir, ic, nchains)
         hio.write_numpy_files(
             d,
@@ -346,11 +464,13 @@ def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs):
 
 
 def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
-             write_time):
+             write_time, prefix=None):
     results = []
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
-        ps, lnp, cr, fga, chi = _slice_batch(host_chunks, bidx, batch_axis, store_cr)
+        ps, lnp, cr, fga, chi = _slice_batch(
+            host_chunks, bidx, batch_axis, store_cr,
+            prefix[bidx] if prefix else None)
         results.append(
             RunResult(
                 antpair=job.antpair,

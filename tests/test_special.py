@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.special import gammaincc as sp_gammaincc
 
-from hydra_pspec_tpu.ops.special import gammaincc_fixed
+from hydra_pspec_tpu.ops.special import gammaincc_fixed, iters_for_shape
 
 
 def test_matches_scipy_over_sampler_ranges():
@@ -22,6 +22,23 @@ def test_matches_scipy_over_sampler_ranges():
         mask = want > 1e-30
         assert err[mask].max() < 1e-5, (a, err[mask].max())
         np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_large_shape_parameter_with_scaled_iters():
+    """The default trip counts degrade above a ~ 2000 (ADVICE r1): with
+    iters_for_shape the series/CF stay accurate to a = 1e4 (long-time
+    chains, alpha = Ntimes)."""
+    for a in [2000.0, 5000.0, 1e4]:
+        x = np.concatenate([
+            np.linspace(a - 5 * np.sqrt(a), a + 5 * np.sqrt(a), 101),
+            np.logspace(np.log10(a / 100), np.log10(a * 3), 100),
+        ])
+        want = sp_gammaincc(a, x)
+        got = np.asarray(gammaincc_fixed(jnp.float64(a), jnp.asarray(x),
+                                         iters=iters_for_shape(a)))
+        err = np.abs(got - want) / np.maximum(want, 1e-12)
+        mask = want > 1e-30
+        assert err[mask].max() < 1e-5, (a, err[mask].max())
 
 
 def test_edge_cases():
