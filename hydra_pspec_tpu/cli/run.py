@@ -153,7 +153,7 @@ def prepare_jobs(cfg: RunConfig, out_dir: Path, process_id=0, num_processes=1):
             )
         )
     t_load = time.perf_counter() - t0
-    return jobs, nfreqs, len(all_bls), t_load
+    return jobs, nfreqs, len(all_bls), t_load, mine
 
 
 def _freq_str(freqs_hz):
@@ -208,7 +208,7 @@ def main(argv=None):
         if cfg.verbose:
             print(f"Writing output(s) to {out_dir.absolute()}")
 
-    jobs, nfreqs, n_baselines, t_load = prepare_jobs(
+    jobs, nfreqs, n_baselines, t_load, global_ids = prepare_jobs(
         cfg, out_dir, args.process_id, args.num_processes
     )
     prior = build_prior(cfg, nfreqs)
@@ -229,6 +229,10 @@ def main(argv=None):
         checkpoint_niter=cfg.checkpoint_Niter,
         resume=cfg.resume,
         run_dir=out_dir,
+        process_id=args.process_id,
+        num_processes=args.num_processes,
+        n_global_baselines=n_baselines,
+        global_baseline_ids=global_ids,
         verbose=cfg.verbose and is_rank0,
     )
     t_process = timings["process"]

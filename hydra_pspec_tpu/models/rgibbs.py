@@ -228,6 +228,10 @@ def _solve(m: C, b: C, jitter: float, solver: str) -> C:
         from ..ops.pallas import spd_solve
 
         return spd_solve.hermitian_solve_pallas(m, b, jitter=jitter)
+    if solver == "pallas2":
+        from ..ops.pallas import spd_inv
+
+        return spd_inv.hermitian_solve_pallas2(m, b, jitter=jitter)
     raise ValueError(f"unknown solver {solver!r}")
 
 

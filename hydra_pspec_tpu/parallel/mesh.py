@@ -51,6 +51,53 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
     return jax.tree.map(put, tree)
 
 
+def host_local_to_global(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Assemble globally-sharded arrays from per-process local blocks
+    (``jax.make_array_from_process_local_data``): each process contributes
+    its contiguous slice of the leading batch axis. The multi-host
+    replacement for the reference's ``comm.scatter``
+    (run-hydra-pspec.py:483) — data never leaves the host that loaded it."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
+def replicated_to_global(tree, mesh: Mesh):
+    """Replicate identical host arrays (every process must hold the same
+    values) onto the global mesh."""
+    sh = replicated_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
+def global_to_host_local(arr, batch_axis: int = 0):
+    """This process's contiguous block of a batch-sharded global array, as
+    numpy (assembled from addressable shards in batch order)."""
+    shards = sorted(
+        arr.addressable_shards,
+        key=lambda s: s.index[batch_axis].start or 0,
+    )
+    seen = set()
+    parts = []
+    for s in shards:
+        start = s.index[batch_axis].start or 0
+        if start in seen:
+            continue  # replicated copies of the same slice
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=batch_axis)
+
+
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):

@@ -33,3 +33,21 @@ def local_indices(n_items: int, process_id: int, num_processes: int):
     start = process_id * quot + min(process_id, rem)
     count = quot + (1 if process_id < rem else 0)
     return range(start, start + count)
+
+
+def padded_baseline_slots(n_items: int, num_processes: int, n_devices: int,
+                          nchains: int = 1) -> int:
+    """Global padded baseline count for the multi-process sharded batch:
+    the smallest multiple of ``num_processes`` whose per-process slot count
+    covers the largest :func:`local_indices` block and whose total
+    (baseline x chain) batch divides evenly over all devices. Slots beyond
+    a process's real baselines hold dummy chains (outputs dropped)."""
+    if n_items < num_processes:
+        raise ValueError(
+            f"Number of baselines ({n_items}) should be >= number of "
+            f"ranks ({num_processes})"
+        )
+    m = num_processes * (-(-n_items // num_processes))
+    while (m * nchains) % n_devices != 0:
+        m += num_processes
+    return m

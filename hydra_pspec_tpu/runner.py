@@ -27,6 +27,7 @@ import numpy as np
 from .models import gcr, gibbs, rgibbs
 from .ops import cplx
 from .parallel import mesh as pmesh
+from .parallel import partition as ppart
 from .utils import io as hio
 
 
@@ -98,6 +99,10 @@ def run_baselines(
     checkpoint_niter: int = 0,
     resume: bool = False,
     run_dir: Optional[Path] = None,
+    process_id: int = 0,
+    num_processes: int = 1,
+    n_global_baselines: Optional[int] = None,
+    global_baseline_ids: Optional[Sequence[int]] = None,
     verbose: bool = False,
 ):
     """Run Gibbs chains for every (baseline, chain) pair; returns
@@ -106,7 +111,16 @@ def run_baselines(
     ``checkpoint_niter``: checkpoint cadence in iterations (rounded up to
     whole ``write_niter`` chunks); 0 = checkpoint every chunk.
     ``run_dir``: where checkpoint.npz lives (defaults to the parent of the
-    first baseline's out_dir — the run's results directory)."""
+    first baseline's out_dir — the run's results directory).
+
+    Multi-process (``num_processes > 1``, after jax.distributed init):
+    ``jobs`` is this process's local block (reference block rule,
+    run-hydra-pspec.py:268-287), ``global_baseline_ids`` its global indices
+    (for PRNG streams), ``n_global_baselines`` the global total. Local
+    blocks are padded to equal per-process slot counts and assembled into
+    globally-sharded arrays via jax.make_array_from_process_local_data —
+    the TPU-native comm.scatter. No collectives run during sampling; each
+    process writes only its own baselines' outputs."""
     if map_estimate:
         niter = 1
         write_niter = 1
@@ -151,9 +165,13 @@ def run_baselines(
         ops_b = stacked._replace(fourier_op=ops_list[0].fourier_op)
         ps_b = jnp.asarray(np.stack([ps0_list[ib] for ib, _ in meta]))
 
+    # PRNG streams are keyed by the *global* baseline index so multi-process
+    # runs reproduce the single-process chains exactly (complex engine).
+    gids = (list(global_baseline_ids) if global_baseline_ids is not None
+            else list(range(nbl)))
     keys_b = jnp.stack(
         [
-            jax.random.fold_in(jax.random.fold_in(base_key, ib), ic)
+            jax.random.fold_in(jax.random.fold_in(base_key, gids[ib]), ic)
             for ib, ic in meta
         ]
     )
@@ -163,8 +181,55 @@ def run_baselines(
     # padded with dummy chains (copies of element 0) whose outputs are
     # dropped on the host (pmesh.pad_batch contract).
     n_real = len(meta)
+    multiproc = num_processes > 1
     t_scatter0 = time.perf_counter()
-    if use_mesh and len(jax.devices()) > 1:
+    if multiproc:
+        ndev = len(jax.devices())  # global device count
+        bpad = ppart.padded_baseline_slots(
+            n_global_baselines if n_global_baselines is not None else nbl,
+            num_processes, ndev, nchains,
+        )
+        slots = (bpad // num_processes) * nchains
+        pad = slots - n_real
+        # typed PRNG keys can't cross the host/numpy boundary — ship raw
+        # key data and re-wrap after global assembly
+        keys_b = jax.random.key_data(keys_b)
+        if pad:
+
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
+                )
+
+            if engine == "real":
+                ops_b = jax.tree.map(
+                    _pad, ops_b._replace(f=None, igt=None)
+                )._replace(f=ops_b.f, igt=ops_b.igt)
+            else:
+                ops_b = jax.tree.map(
+                    _pad, ops_b._replace(fourier_op=None)
+                )._replace(fourier_op=ops_b.fourier_op)
+            ps_b = _pad(ps_b)
+            keys_b = _pad(keys_b)
+        dev_mesh = pmesh.make_mesh()
+        if engine == "real":
+            body = pmesh.host_local_to_global(
+                ops_b._replace(f=None, igt=None), dev_mesh
+            )
+            shared = pmesh.replicated_to_global(
+                {"f": ops_b.f, "igt": ops_b.igt}, dev_mesh
+            )
+            ops_b = body._replace(f=shared["f"], igt=shared["igt"])
+        else:
+            fop = pmesh.replicated_to_global(ops_b.fourier_op, dev_mesh)
+            ops_b = pmesh.host_local_to_global(
+                ops_b._replace(fourier_op=None), dev_mesh
+            )._replace(fourier_op=fop)
+        ps_b = pmesh.host_local_to_global(ps_b, dev_mesh)
+        keys_b = jax.random.wrap_key_data(
+            pmesh.host_local_to_global(keys_b, dev_mesh)
+        )
+    elif use_mesh and len(jax.devices()) > 1:
         dev_mesh = pmesh.make_mesh()
         nsh = len(dev_mesh.devices.flat)
         n_padded = pmesh.pad_batch(n_real, nsh)
@@ -247,8 +312,9 @@ def run_baselines(
     # baseline's chain dir.
     start_iter = 0
     prefix = None
+    ck_tag = f"-p{process_id}" if multiproc else ""
     if resume and run_dir is not None:
-        ck = hio.load_checkpoint(run_dir)
+        ck = hio.load_checkpoint(run_dir, tag=ck_tag)
         if ck is not None:
             consistent = (
                 ck["ps"].shape == (n_real, nfreqs)
@@ -267,7 +333,10 @@ def run_baselines(
                     ckps = jnp.concatenate(
                         [ckps, jnp.broadcast_to(ckps[:1], (npad, nfreqs))], 0
                     )
-                ps_b = jax.device_put(ckps, ps_b.sharding)
+                if multiproc:
+                    ps_b = pmesh.host_local_to_global(np.asarray(ckps), dev_mesh)
+                else:
+                    ps_b = jax.device_put(ckps, ps_b.sharding)
                 if verbose:
                     print(f"resuming from iteration {start_iter}")
             elif verbose:
@@ -309,13 +378,16 @@ def run_baselines(
             if checkpoint and run_dir is not None and (
                 n_chunks % ckpt_every == 0 or done >= niter
             ):
+                ps_host = (pmesh.global_to_host_local(ps_b) if multiproc
+                           else np.asarray(jax.device_get(ps_b)))
                 hio.save_checkpoint(
                     run_dir,
                     iteration=done,
-                    ps=np.asarray(jax.device_get(ps_b))[:n_real],
+                    ps=ps_host[:n_real],
                     key_data=jax.random.key_data(base_key),
                     extra={"niter": niter, "engine": engine,
                            "nchains": nchains},
+                    tag=ck_tag,
                 )
         write_time += time.perf_counter() - t0
     t_process = time.perf_counter() - t0_proc
@@ -356,20 +428,33 @@ def _trim(arr, batch_axis, n_real):
     return arr[tuple(sl)]
 
 
+def _host(a, batch_axis):
+    """Device array -> this process's numpy block (whole array when fully
+    addressable; assembled local shards in a multi-process run)."""
+    if a is None:
+        return None
+    if hasattr(a, "is_fully_addressable") and not a.is_fully_addressable:
+        return pmesh.global_to_host_local(a, batch_axis)
+    return np.asarray(a)
+
+
 def _to_host(samples, engine, store_cr, batch_axis, n_real):
+    h = lambda a: _host(a, batch_axis)
     if engine == "real":
-        cr = cplx.to_numpy(samples.signal_cr) if store_cr else None
-        fga = cplx.to_numpy(samples.fg_amps) if store_cr else None
+        cr = (h(samples.signal_cr.re) + 1j * h(samples.signal_cr.im)
+              if store_cr else None)
+        fga = (h(samples.fg_amps.re) + 1j * h(samples.fg_amps.im)
+               if store_cr else None)
     else:
-        cr = np.asarray(samples.signal_cr) if store_cr else None
-        fga = np.asarray(samples.fg_amps) if store_cr else None
+        cr = h(samples.signal_cr) if store_cr else None
+        fga = h(samples.fg_amps) if store_cr else None
     t = lambda a: _trim(a, batch_axis, n_real)
     return _HostSample(
         t(cr),
-        t(np.asarray(samples.ps)),
+        t(h(samples.ps)),
         t(fga),
-        t(np.asarray(samples.chisq)),
-        t(np.asarray(samples.ln_post)),
+        t(h(samples.chisq)),
+        t(h(samples.ln_post)),
     )
 
 

@@ -50,13 +50,19 @@ def add_mtime_to_filepath(fp, join_char="-"):
 CHECKPOINT_FILE = "checkpoint.npz"
 
 
-def save_checkpoint(out_dir, *, iteration, ps, key_data, extra=None):
+def _ck_name(tag):
+    return f"checkpoint{tag}.npz" if tag else CHECKPOINT_FILE
+
+
+def save_checkpoint(out_dir, *, iteration, ps, key_data, extra=None, tag=""):
     """Persist resumable chain state: (iteration index, current bandpowers,
-    PRNG key data). The reference has checkpointing-by-overwrite but no
+    PRNG key data). ``tag`` distinguishes per-process checkpoints in
+    multi-host runs. The reference has checkpointing-by-overwrite but no
     resume path (SURVEY.md §5.4)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    tmp = out_dir / ("tmp-" + CHECKPOINT_FILE)  # .npz suffix kept: np.savez appends it otherwise
+    name = _ck_name(tag)
+    tmp = out_dir / ("tmp-" + name)  # .npz suffix kept: np.savez appends it otherwise
     np.savez(
         tmp,
         iteration=np.asarray(iteration),
@@ -64,13 +70,13 @@ def save_checkpoint(out_dir, *, iteration, ps, key_data, extra=None):
         key_data=np.asarray(key_data),
         extra=json.dumps(extra or {}),
     )
-    os.replace(tmp, out_dir / CHECKPOINT_FILE)
+    os.replace(tmp, out_dir / name)
 
 
-def load_checkpoint(out_dir):
+def load_checkpoint(out_dir, tag=""):
     """Load chain state saved by :func:`save_checkpoint`; returns a dict or
     None when absent."""
-    fp = Path(out_dir) / CHECKPOINT_FILE
+    fp = Path(out_dir) / _ck_name(tag)
     if not fp.exists():
         return None
     with np.load(fp, allow_pickle=False) as z:

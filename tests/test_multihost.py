@@ -1,0 +1,118 @@
+"""Real multi-process test: two jax.distributed CPU processes drive the
+CLI with --num_processes 2 and must reproduce the single-process run's
+per-baseline outputs exactly.
+
+This is the "fake cluster" the reference never had — its multi-node
+correctness oracle is "identical results for all baselines and job sizes"
+on replicated data (scaling_tests_README.md:53-58); ours is stronger:
+bit-level agreement of every baseline against a single-process run, with
+an odd baseline count (3 over 2 processes / 8 global devices) exercising
+the dummy-slot padding.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_inputs(tmp):
+    from hydra_pspec_tpu.utils import uvh5 as uv
+
+    rng = np.random.default_rng(42)
+    nt, nf = 8, 16
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    vis = {
+        p: rng.standard_normal((nt, nf)) + 1j * rng.standard_normal((nt, nf))
+        for p in pairs
+    }
+    fp = tmp / "data.uvh5"
+    uv.write_uvh5(fp, vis, freqs_hz=1e8 + np.arange(nf) * 1e5)
+    return fp, [f"{a}-{b}" for a, b in pairs]
+
+
+def _argv(fp, out_dir):
+    return [
+        str(fp),
+        "--out_dir", str(out_dir),
+        "--dirname", "res",
+        "--Niter", "4",
+        "--write_Niter", "2",
+        "--seed", "7",
+        "--Nfgmodes", "2",
+    ]
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    fp, bl_strs = _write_inputs(tmp_path)
+
+    # --- single-process oracle (in this pytest process, 8 devices) -------
+    from hydra_pspec_tpu.cli.run import main
+
+    single_out = tmp_path / "single"
+    assert main(_argv(fp, single_out)) == 0
+
+    # --- two jax.distributed CPU processes, 4 virtual devices each -------
+    port = _free_port()
+    multi_out = tmp_path / "multi"
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, "-m", "hydra_pspec_tpu.cli.run",
+            *_argv(fp, multi_out),
+            "--num_processes", "2",
+            "--process_id", str(pid),
+            "--coordinator", f"localhost:{port}",
+        ]
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=360) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\nstdout:{so}\nstderr:{se}"
+
+    # --- per-baseline outputs must match the single-process run ----------
+    for bl in bl_strs:
+        for name in ("dps-eor.npy", "ln-post.npy", "gcr-eor.npy", "chisq.npy"):
+            a = np.load(multi_out / "res" / bl / name)
+            b = np.load(single_out / "res" / bl / name)
+            assert a.shape == b.shape, (bl, name, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"{bl}/{name}")
+
+    # provenance written once, by rank 0
+    assert (multi_out / "res" / "timings.json").exists()
+
+
+def test_padded_baseline_slots_rules():
+    from hydra_pspec_tpu.parallel.partition import padded_baseline_slots
+
+    # 3 baselines, 2 procs, 8 devices: padded to 8 (4 slots/proc)
+    assert padded_baseline_slots(3, 2, 8) == 8
+    # divisible case stays unpadded
+    assert padded_baseline_slots(8, 2, 8) == 8
+    # chains count toward the device divisibility
+    assert padded_baseline_slots(3, 2, 8, nchains=2) == 4
+    with pytest.raises(ValueError):
+        padded_baseline_slots(1, 2, 8)
