@@ -144,12 +144,15 @@ def prepare_jobs(cfg: RunConfig, out_dir: Path, process_id=0, num_processes=1):
             fgm = legendre_fgmodes(nfreqs, cfg.Nfgmodes)
         fgm = fgm[:, : cfg.Nfgmodes]
 
-        w_any = uv.collapse_flags_any_time(np.asarray(flags, dtype=bool))
+        flags_b = np.asarray(flags, dtype=bool)
+        w_any = uv.collapse_flags_any_time(flags_b)
         bl_out = out_dir / bl_str
         jobs.append(
             BaselineJob(
                 antpair=bl.antpair, d=d, w=w_any, fgmodes=fgm,
                 S_initial=sigcov0, Ninv=ninv, out_dir=bl_out,
+                # opt-in per-time flag patterns (reference FIXME :541)
+                flags_tf=flags_b if cfg.time_flags else None,
             )
         )
     t_load = time.perf_counter() - t0

@@ -55,44 +55,63 @@ class RChainOperators(NamedTuple):
     g_mat: C          # (B, Nfreqs, Nmodes) — G = Ni Fg Maa^{-1}
     maa_inv: C        # (B, Nmodes, Nmodes)
     igt: InvGammaTable  # shared (same Ntimes for all chains)
+    ni_dense: Optional[C] = None   # (B, Nfreqs, Nfreqs) masked Ni — dense
+    nih_dense: Optional[C] = None  # (B, Nfreqs, Nfreqs) sqrtm(Ni) — dense
+    # noise path only (None for the diagonal models every shipped config
+    # uses; the delay-basis Schur reduction itself is generic in Ni)
 
 
 def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOperators:
     """Build a batch-of-one chain. ``ninv``: scalar, (Nfreqs,) diagonal, or
-    a diagonal (Nfreqs, Nfreqs) matrix (every shipped config; genuinely
-    dense noise uses the complex engine)."""
+    an (Nfreqs, Nfreqs) matrix — genuinely dense Hermitian noise takes the
+    dense path (reference accepts dense Ninv in its hot path,
+    hydra_pspec/pspec.py:336-361)."""
     vis = np.asarray(vis, dtype=np.complex128)
     nfreqs = vis.shape[-1]
     w = np.asarray(w, dtype=np.float64)
     ninv = np.asarray(ninv)
-    if ninv.ndim == 2:
-        off = ninv - np.diag(np.diag(ninv))
-        if np.abs(off).max() > 0:
-            raise NotImplementedError(
-                "dense Ninv is not supported by the real-pair engine; "
-                "use the complex engine (models.gibbs)"
-            )
-        ninv = np.diag(ninv).real
-    ninv_full = np.broadcast_to(np.real(ninv), (nfreqs,)).astype(np.float64)
-    ni = w * ninv_full * w
-    nih = np.sqrt(ni)
+    ni_mat = nih_mat = None
+    if ninv.ndim == 2 and np.abs(ninv - np.diag(np.diag(ninv))).max() > 0:
+        ninv_full = np.diagonal(ninv).real.astype(np.float64)
+        ni_mat = (w[:, None] * np.asarray(ninv, dtype=np.complex128)
+                  ) * w[None, :]
+        # one-time Hermitian PSD square root (chain constant — the
+        # reference recomputes sqrtm every iteration, pspec.py:362)
+        vals, vecs = np.linalg.eigh(ni_mat)
+        nih_mat = (vecs * np.sqrt(np.clip(vals, 0.0, None))) @ vecs.conj().T
+        ni = np.diagonal(ni_mat).real
+        nih = np.sqrt(ni)  # diagonal kept for provenance; dense path used
+    else:
+        if ninv.ndim == 2:
+            ninv = np.diag(ninv).real
+        ninv_full = np.broadcast_to(np.real(ninv), (nfreqs,)).astype(np.float64)
+        ni = w * ninv_full * w
+        nih = np.sqrt(ni)
     fg = np.asarray(fgmodes, dtype=np.complex128)
     d_w = vis * w
-    ni_fg = ni[:, None] * fg
+
+    def apply_ni_rows(x):
+        """Ni @ x^T as rows: x (..., Nfreqs)."""
+        if ni_mat is None:
+            return ni * x
+        return x @ ni_mat.T
+
+    ni_fg = ni[:, None] * fg if ni_mat is None else ni_mat @ fg
     maa = fg.conj().T @ ni_fg
     # FG deflation (exact): solve for amplitudes relative to the host-side
     # float64 GLS foreground fit a0 — otherwise the f32 solve's norm-wise
     # error (~cond * eps * |x|) lands on the small EoR components.
-    rhs0 = fg.conj().T @ (ni * d_w).T
+    rhs0 = fg.conj().T @ apply_ni_rows(d_w).T
     a0 = np.linalg.lstsq(maa, rhs0, rcond=None)[0].T
     d_defl = d_w - a0 @ fg.T
-    ni_d = ni * d_defl
+    ni_d = apply_ni_rows(d_defl)
     # FG block Schur reduction constants (see gcr_solve docstring), with
     # the reduced noise operator pre-rotated to the delay basis where the
-    # signal square root is diagonal: P_tilde = F P F^H / n.
+    # signal square root is diagonal: P_tilde = F P F^H / n. Generic in Ni.
     maa_inv = np.linalg.pinv(maa)
     g_mat = ni_fg @ maa_inv
-    p_mat = np.diag(ni).astype(complex) - g_mat @ ni_fg.conj().T
+    p_base = np.diag(ni).astype(complex) if ni_mat is None else ni_mat
+    p_mat = p_base - g_mat @ ni_fg.conj().T
     i_idx = np.arange(nfreqs) - nfreqs // 2
     f_op = np.exp(-2j * np.pi * np.outer(i_idx, i_idx) / nfreqs)
     p_tilde = f_op @ p_mat @ f_op.conj().T / nfreqs
@@ -113,6 +132,8 @@ def build_chain_operators(vis, w, fgmodes, ninv, dtype=jnp.float32) -> RChainOpe
         g_mat=cv(g_mat),
         maa_inv=cv(maa_inv),
         igt=make_invgamma_table(vis.shape[0], dtype=dtype),
+        ni_dense=None if ni_mat is None else cv(ni_mat),
+        nih_dense=None if nih_mat is None else cv(nih_mat),
     )
 
 
@@ -190,10 +211,14 @@ def gcr_solve(
 
     rc = ops.ni_d
     if omega_b is not None:
-        rc = rc + C(
-            ops.nih_diag[:, None, :] * omega_b.re,
-            ops.nih_diag[:, None, :] * omega_b.im,
-        )
+        if ops.nih_dense is not None:
+            # rows: (Nih w_b)^T = w_b @ Nih^T = w_b @ conj(Nih) (Hermitian)
+            rc = rc + cplx.matmul(omega_b, ops.nih_dense.conj())
+        else:
+            rc = rc + C(
+                ops.nih_diag[:, None, :] * omega_b.re,
+                ops.nih_diag[:, None, :] * omega_b.im,
+            )
     rc_t = _t(rc)                                    # (B, Nfreqs, Ntimes)
     b_a = cplx.matmul(ops.fg.adjoint(), rc_t)        # (B, Nmodes, Ntimes)
     rc_red = rc_t - cplx.matmul(ops.g_mat, b_a)
@@ -283,9 +308,15 @@ def gibbs_step(
     )
 
     # ln posterior under the new sample (multiplicative masking form)
-    noise_term = jnp.sum(
-        ops.ni_diag[:, None, :] * resid.abs2(), axis=(1, 2)
-    )
+    if ops.ni_dense is not None:
+        ni_r = cplx.matmul(resid, ops.ni_dense.conj())
+        noise_term = jnp.sum(
+            ni_r.re * resid.re + ni_r.im * resid.im, axis=(1, 2)
+        )
+    else:
+        noise_term = jnp.sum(
+            ops.ni_diag[:, None, :] * resid.abs2(), axis=(1, 2)
+        )
     if all_unflagged:
         skm = sk
     else:

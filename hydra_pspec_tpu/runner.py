@@ -17,6 +17,7 @@ SURVEY.md §5.4).
 """
 import time
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -43,6 +44,9 @@ class BaselineJob:
     S_initial: np.ndarray      # (Nfreqs, Nfreqs) or bandpowers (Nfreqs,)
     Ninv: np.ndarray           # (Nfreqs,) diag, (Nfreqs, Nfreqs), or scalar
     out_dir: Optional[Path] = None
+    flags_tf: Optional[np.ndarray] = None  # (Ntimes, Nfreqs) bool — opt-in
+    # per-time flag patterns (True = flagged); when set, the runner uses the
+    # grouped time-flags path (models/tflags.py) instead of the w collapse
 
 
 @dataclass
@@ -125,6 +129,13 @@ def run_baselines(
         niter = 1
         write_niter = 1
     engine = select_engine(engine)
+    if any(j.flags_tf is not None for j in jobs):
+        return _run_baselines_tflags(
+            jobs, ps_prior, niter, seed=seed, nchains=nchains,
+            write_niter=write_niter, map_estimate=map_estimate,
+            store_cr=store_cr, jitter=jitter, engine=engine, solver=solver,
+            verbose=verbose,
+        )
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
     meta = [(ib, ic) for ib in range(nbl) for ic in range(nchains)]
@@ -572,6 +583,130 @@ def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
             )
         )
     return results
+
+
+def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
+                          write_niter, map_estimate, store_cr, jitter,
+                          engine, solver, verbose):
+    """Grouped time-dependent-flags path (models/tflags.py): per-baseline
+    Python loop (group structure differs per baseline), chains batched on
+    the real engine. Correctness-tier — no mesh sharding/resume here; the
+    reference collapses time-dependent flags entirely
+    (run-hydra-pspec.py:541 FIXME)."""
+    from .models import tflags
+
+    prior64 = np.asarray(ps_prior, dtype=np.float64)
+    prior_idx = np.nonzero(np.any(prior64 > 0, axis=0))[0]
+    prior_idx_j = jnp.asarray(prior_idx) if prior_idx.size else None
+    base_key = jax.random.key(seed if seed is not None else 0)
+
+    results = []
+    write_time = 0.0
+    t0_proc = time.perf_counter()
+    for ib, job in enumerate(jobs):
+        nfreqs = job.d.shape[-1]
+        flags_tf = (job.flags_tf if job.flags_tf is not None
+                    else np.zeros(job.d.shape, dtype=bool))
+        ps0 = _initial_ps_host(job.S_initial, nfreqs)
+        if engine == "real":
+            groups = tflags.build_grouped_operators_real(
+                job.d, flags_tf, job.fgmodes, job.Ninv
+            )
+            groups = [
+                g._replace(ops=rgibbs.broadcast_chain_operators(g.ops, nchains))
+                for g in groups
+            ]
+            prior_j = jnp.asarray(prior64, dtype=jnp.float32)
+            ps_state = jnp.broadcast_to(
+                jnp.asarray(ps0, dtype=jnp.float32), (nchains, nfreqs)
+            )
+
+            @partial(jax.jit, static_argnames=("n",))
+            def chunk_fn(key, ps, n, _groups=groups, _prior=prior_j):
+                return tflags.run_chain_tflags_real(
+                    key, _groups, ps, _prior, n, map_estimate=map_estimate,
+                    jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
+                    solver=solver,
+                )
+            batch_axis = 1
+            chain_keys = None
+        else:
+            groups = tflags.build_grouped_operators(
+                job.d, flags_tf, job.fgmodes, job.Ninv
+            )
+            prior_j = jnp.asarray(prior64)
+            ps_state = jnp.broadcast_to(jnp.asarray(ps0), (nchains, nfreqs))
+            chain_keys = jnp.stack([
+                jax.random.fold_in(jax.random.fold_in(base_key, ib), ic)
+                for ic in range(nchains)
+            ])
+
+            @partial(jax.jit, static_argnames=("n",))
+            def chunk_fn(keys, ps, n, _groups=groups, _prior=prior_j):
+                return jax.vmap(
+                    lambda k, p: tflags.run_chain_tflags(
+                        k, _groups, p, _prior, n, map_estimate=map_estimate,
+                        jitter=jitter, store_cr=store_cr,
+                        prior_idx=prior_idx_j,
+                    )
+                )(keys, ps)
+            batch_axis = 0
+
+        host_chunks = []
+        done = 0
+        while done < niter:
+            n = min(write_niter, niter - done)
+            if engine == "real":
+                key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, ib), 1_000_000 + done
+                )
+                ps_state, samples = chunk_fn(key, ps_state, n)
+            else:
+                keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(chain_keys)
+                ps_state, samples = chunk_fn(keys, ps_state, n)
+            host_chunks.append(
+                _to_host(samples, engine, store_cr, batch_axis, nchains)
+            )
+            done += n
+            if verbose:
+                hc = host_chunks[-1]
+                print(f"[tflags {job.antpair}] iter {done}/{niter}  "
+                      f"chisq={float(np.mean(hc.chisq)):.4f}")
+
+        for ic in range(nchains):
+            ps, lnp, cr, fga, chi = _slice_batch(
+                host_chunks, ic, batch_axis, store_cr
+            )
+            d = (None if job.out_dir is None
+                 else _chain_dir(job.out_dir, ic, nchains))
+            if d is not None:
+                t0 = time.perf_counter()
+                hio.write_numpy_files(
+                    d,
+                    cr if cr is not None else np.zeros(0),
+                    _final_S(ps[-1], nfreqs),
+                    ps,
+                    fga if fga is not None else np.zeros(0),
+                    chi,
+                    lnp,
+                )
+                write_time += time.perf_counter() - t0
+            results.append(RunResult(
+                antpair=job.antpair, chain=ic, signal_ps=ps, ln_post=lnp,
+                chisq=chi, signal_cr=cr, fg_amps=fga,
+                signal_S=_final_S(ps[-1], nfreqs), out_dir=d,
+                write_time=write_time,
+            ))
+    timings = {
+        "process": time.perf_counter() - t0_proc,
+        "write": write_time,
+        "scatter": 0.0,
+        "niter": niter,
+        "start_iter": 0,
+        "batch": len(jobs) * nchains,
+        "engine": engine,
+    }
+    return results, timings
 
 
 def gelman_rubin(ps_chains: np.ndarray) -> np.ndarray:

@@ -45,6 +45,7 @@ class RunConfig:
     write_Niter: int = 100
     # --- TPU-native extensions -------------------------------------------
     nchains: int = 1          # independent Gibbs chains per baseline
+    time_flags: bool = False  # per-time flag patterns (reference FIXME :541)
     precision: str = "x64"    # "x64" (CPU parity) | "x32" (TPU perf)
     store_cr: bool = True     # materialize per-iteration signal CRs
     resume: bool = False      # resume from checkpoint.npz if present

@@ -1,5 +1,9 @@
 """A/B the Pallas solve kernels on the real GCR shapes, on-device.
 
+Standalone dispatches cost ~25-30 ms through the axon relay, so each
+measurement runs the solver NITER times inside one lax.scan (renormalizing
+the carried RHS to keep f32 in range) and reports per-call time.
+
     python scripts/profile_solvers.py
 """
 import os
@@ -25,11 +29,8 @@ from hydra_pspec_tpu.ops.pallas import spd_solve, spd_inv
 B = int(os.environ.get("PROF_B", "100"))
 N = int(os.environ.get("PROF_N", "240"))
 K = int(os.environ.get("PROF_K", "203"))
-REPS = int(os.environ.get("PROF_REPS", "7"))
-
-
-def sync(x):
-    return float(jnp.sum(x))
+NITER = int(os.environ.get("PROF_ITERS", "20"))
+REPS = int(os.environ.get("PROF_REPS", "5"))
 
 
 def timeit(name, fn, reps=REPS):
@@ -40,43 +41,52 @@ def timeit(name, fn, reps=REPS):
         fn()
         ts.append(time.perf_counter() - t0)
     ts = np.array(ts)
-    print(f"{name:46s} median {np.median(ts)*1e3:8.2f} ms   min "
-          f"{ts.min()*1e3:8.2f}", flush=True)
+    print(f"{name:42s} median {np.median(ts)*1e3/NITER:8.3f} ms/call   "
+          f"min {ts.min()*1e3/NITER:8.3f}", flush=True)
+
+
+def scan_wrap(solver):
+    @jax.jit
+    def loop(e, b):
+        def body(x, _):
+            x = solver(e, x)
+            x = x / jnp.maximum(jnp.mean(jnp.abs(x)), 1e-30)
+            return x, ()
+        x, _ = jax.lax.scan(body, b, None, length=NITER)
+        return jnp.sum(x)
+    return loop
 
 
 def main():
-    print(f"backend={jax.default_backend()}  B={B} N={N} K={K}", flush=True)
+    print(f"backend={jax.default_backend()}  B={B} N={N} K={K} x{NITER}",
+          flush=True)
     rng = np.random.default_rng(0)
     a = rng.standard_normal((B, N, N)).astype(np.float32)
     e = np.einsum("bij,bkj->bik", a, a) / N + np.eye(N, dtype=np.float32)
     b = rng.standard_normal((B, N, K)).astype(np.float32)
-    e = jnp.asarray(e)
-    b = jnp.asarray(b)
+    e = jax.device_put(jnp.asarray(e))
+    b = jax.device_put(jnp.asarray(b))
 
-    v2r1 = jax.jit(lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1))
-    timeit("v2 spd_inv_solve refine=1", lambda: sync(v2r1(e, b)))
+    cases = [
+        ("v2 inv refine=1", lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1)),
+        ("v2 inv refine=0", lambda e, b: spd_inv.spd_inv_solve(e, b, refine=0)),
+        ("v1 chol-subst", lambda e, b: spd_solve.spd_factor_solve(e, b)),
+        ("v2 bt=16 refine=1", lambda e, b: spd_inv.spd_inv_solve(
+            e, b, batch_tile=16, refine=1)),
+        ("v2 bt=4 refine=1", lambda e, b: spd_inv.spd_inv_solve(
+            e, b, batch_tile=4, refine=1)),
+    ]
+    for name, solver in cases:
+        f = scan_wrap(solver)
+        timeit(name, lambda: float(f(e, b)))
+
     # accuracy spot check on device
-    x = v2r1(e, b)
-    resid = jnp.einsum("bij,bjk->bik", e, x,
-                       precision=jax.lax.Precision.HIGHEST) - b
-    print(f"  v2 refine=1 max|resid| {float(jnp.abs(resid).max()):.2e}",
-          flush=True)
-
-    v2r0 = jax.jit(lambda e, b: spd_inv.spd_inv_solve(e, b, refine=0))
-    timeit("v2 spd_inv_solve refine=0", lambda: sync(v2r0(e, b)))
-    x = v2r0(e, b)
-    resid = jnp.einsum("bij,bjk->bik", e, x,
-                       precision=jax.lax.Precision.HIGHEST) - b
-    print(f"  v2 refine=0 max|resid| {float(jnp.abs(resid).max()):.2e}",
-          flush=True)
-
-    v1 = jax.jit(lambda e, b: spd_solve.spd_factor_solve(e, b))
-    timeit("v1 spd_factor_solve", lambda: sync(v1(e, b)))
-
-    for bt in (4, 16, 32):
-        f = jax.jit(lambda e, b, bt=bt: spd_inv.spd_inv_solve(
-            e, b, batch_tile=bt, refine=1))
-        timeit(f"v2 batch_tile={bt} refine=1", lambda: sync(f(e, b)))
+    for name, solver in cases[:3]:
+        x = jax.jit(solver)(e, b)
+        resid = jnp.einsum("bij,bjk->bik", e, x,
+                           precision=jax.lax.Precision.HIGHEST) - b
+        print(f"  {name:40s} max|resid| {float(jnp.abs(resid).max()):.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":

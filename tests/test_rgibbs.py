@@ -170,12 +170,47 @@ class TestEngineAgreement:
         assert np.isfinite(chi).all()
         assert abs(chi[50:].mean() - 1.0) < 0.1, chi[50:].mean()
 
-    def test_dense_ninv_rejected(self):
-        d, w, fg, ninv, ps, _ = make_problem()
-        X = crandn(d.shape[1], d.shape[1])
-        dense = X @ X.conj().T + np.eye(d.shape[1])
-        with pytest.raises(NotImplementedError):
-            rgibbs.build_chain_operators(d, w, fg, dense)
+    def test_dense_ninv_matches_complex_engine(self):
+        """Real-engine twin of test_gcr_matches_reference_system[True]:
+        genuinely dense Hermitian Ninv through the real-pair path must
+        reproduce the complex engine (itself pinned against the reference
+        block system) exactly at float64."""
+        d, w, fg, _, ps, _ = make_problem()
+        ntimes, nfreqs = d.shape
+        X = crandn(nfreqs, nfreqs)
+        dense = X @ X.conj().T + 3.0 * np.eye(nfreqs)
+        oa, ob = crandn(ntimes, nfreqs), crandn(ntimes, nfreqs)
+
+        cops = gcr.build_chain_operators(d, w, fg, dense)
+        cres = gcr.gcr_solve(cops, jnp.asarray(ps), jnp.asarray(oa),
+                             jnp.asarray(ob))
+
+        rops = rgibbs.build_chain_operators(d, w, fg, dense, dtype=jnp.float64)
+        assert rops.ni_dense is not None and rops.nih_dense is not None
+        sig, amps, _ = rgibbs.gcr_solve(
+            rops, jnp.asarray(ps)[None],
+            cplx.from_numpy(to_delay(oa)[None], jnp.float64),
+            cplx.from_numpy(ob[None], jnp.float64),
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(sig)[0], np.asarray(cres.signal_cr), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(amps)[0], np.asarray(cres.fg_amps), atol=1e-8
+        )
+
+        # full step: chisq + ln_post diagnostics under dense noise
+        _, cs = gibbs.gibbs_step(
+            jax.random.key(0), jnp.asarray(ps), cops,
+            jnp.zeros((2, nfreqs)), map_estimate=True,
+        )
+        _, rs = rgibbs.gibbs_step(
+            jax.random.key(0), jnp.asarray(ps)[None], rops,
+            jnp.zeros((2, nfreqs)), map_estimate=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rs.chisq)[0], np.asarray(cs.chisq), atol=1e-8
+        )
 
 
 class TestRecursiveInverse:
