@@ -57,9 +57,19 @@ def scan_wrap(solver):
     return loop
 
 
+CASES = {
+    "v2r1": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1),
+    "v2r0": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=0),
+    "v1": lambda e, b: spd_solve.spd_factor_solve(e, b),
+    "v2bt16": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=16, refine=1),
+    "v2bt4": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=4, refine=1),
+}
+
+
 def main():
-    print(f"backend={jax.default_backend()}  B={B} N={N} K={K} x{NITER}",
-          flush=True)
+    case = os.environ.get("PROF_CASE", "v1")
+    print(f"backend={jax.default_backend()}  case={case} B={B} N={N} K={K} "
+          f"x{NITER}", flush=True)
     rng = np.random.default_rng(0)
     a = rng.standard_normal((B, N, N)).astype(np.float32)
     e = np.einsum("bij,bkj->bik", a, a) / N + np.eye(N, dtype=np.float32)
@@ -67,26 +77,13 @@ def main():
     e = jax.device_put(jnp.asarray(e))
     b = jax.device_put(jnp.asarray(b))
 
-    cases = [
-        ("v2 inv refine=1", lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1)),
-        ("v2 inv refine=0", lambda e, b: spd_inv.spd_inv_solve(e, b, refine=0)),
-        ("v1 chol-subst", lambda e, b: spd_solve.spd_factor_solve(e, b)),
-        ("v2 bt=16 refine=1", lambda e, b: spd_inv.spd_inv_solve(
-            e, b, batch_tile=16, refine=1)),
-        ("v2 bt=4 refine=1", lambda e, b: spd_inv.spd_inv_solve(
-            e, b, batch_tile=4, refine=1)),
-    ]
-    for name, solver in cases:
-        f = scan_wrap(solver)
-        timeit(name, lambda: float(f(e, b)))
-
-    # accuracy spot check on device
-    for name, solver in cases[:3]:
-        x = jax.jit(solver)(e, b)
-        resid = jnp.einsum("bij,bjk->bik", e, x,
-                           precision=jax.lax.Precision.HIGHEST) - b
-        print(f"  {name:40s} max|resid| {float(jnp.abs(resid).max()):.2e}",
-              flush=True)
+    solver = CASES[case]
+    f = scan_wrap(solver)
+    timeit(case, lambda: float(f(e, b)))
+    x = jax.jit(solver)(e, b)
+    resid = jnp.einsum("bij,bjk->bik", e, x,
+                       precision=jax.lax.Precision.HIGHEST) - b
+    print(f"  {case} max|resid| {float(jnp.abs(resid).max()):.2e}", flush=True)
 
 
 if __name__ == "__main__":
