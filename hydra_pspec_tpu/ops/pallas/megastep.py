@@ -1,0 +1,258 @@
+"""Whole-draw mega-kernel: RHS assembly, delay-basis system build,
+equilibrated solve, and every per-iteration statistic in ONE Pallas
+program per batch tile.
+
+Why: on this backend each HLO op inside a jitted program costs ~15-30 us
+of overhead; the Gibbs draw outside the solve is ~45 small XLA ops
+(~1.5 ms of a 6.9 ms iteration at batch 100). Folding them into the solve
+kernel leaves per iteration only the RNG draws, the bandpower sampler, and
+ln_post assembly outside.
+
+Everything works in the TIME-TRANSPOSED layout (B, Nfreqs, Ntimes): the
+chain constants are pre-transposed host-side (models/rgibbs.py
+build_mega_operators) and the omegas are drawn directly in (B, n, T)
+shape, so the kernel contains no transposes of the big arrays.
+
+Phases (per batch tile, all VMEM-resident; f32, 3-pass bf16-split
+matmuls, Gauss 3-mult complex products):
+  1. rc = ni_d + nih * omega_b                      (VPU)
+  2. b_a = fg^H rc; rc_red = rc - g_mat b_a         (FG Schur reduction)
+  3. frc = F rc_red; b_u = dd*frc + omega_a_delay   (delay-basis RHS)
+  4. E = embed(I + dd dd^T * p_tilde), Jacobi-equilibrated; solve via the
+     recursive Schur inverse (spd_inv._spd_inv_into) + optional refinement
+  5. sk = dd*u -> beta; sig = F^H sk / n; amps = maa_inv b_a - G^H sig + a0
+  6. model/resid -> chisq, per-channel noise term, masked delay stats
+
+Replaces reference hot path pspec.py:151-374 + the per-iteration
+diagnostics of pspec.py:377-490.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .spd_solve import _bmm, _pad_to
+from .spd_inv import _spd_inv_into
+
+
+def _cmm(ar, ai, br, bi):
+    """Batched complex matmul, Gauss 3-mult form, 3-pass bf16 products."""
+    p1 = _bmm(ar, br)
+    p2 = _bmm(ai, bi)
+    p3 = _bmm(ar + ai, br + bi)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _eye(n, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(dtype)
+
+
+def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
+                 all_unflagged: bool,
+                 pt_re, pt_im, ps_ref, nih_ref,
+                 nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+                 fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+                 a0_re, a0_im, f_re, f_im,
+                 oa_re, oa_im, ob_re, ob_im,
+                 sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+                 chi_o, beta_o, noise_o, bmask_o,
+                 e_s, w_s, inv_s, x_s):
+    bt, n, _ = pt_re.shape
+    t = nid_re.shape[2]
+    fdt = pt_re.dtype
+    # padded time columns must carry NO fluctuation draws (they'd leak into
+    # beta/chisq): mask the omegas at the true time count
+    tmask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+             < ntimes_true).astype(fdt)
+
+    # --- 1. rc = ni_d + nih * omega_b -------------------------------------
+    nih = nih_ref[:][:, :, None]
+    rc_re = nid_re[:] + nih * (ob_re[:] * tmask)
+    rc_im = nid_im[:] + nih * (ob_im[:] * tmask)
+
+    # --- 2. FG Schur reduction -------------------------------------------
+    fgr = fg_re[:]
+    fgi = fg_im[:]
+    ba_re, ba_im = _cmm(jnp.swapaxes(fgr, 1, 2), -jnp.swapaxes(fgi, 1, 2),
+                        rc_re, rc_im)
+    gb_re, gb_im = _cmm(g_re[:], g_im[:], ba_re, ba_im)
+    rc_re = rc_re - gb_re
+    rc_im = rc_im - gb_im
+
+    # --- 3. delay-basis RHS ----------------------------------------------
+    fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
+    fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
+    frc_re, frc_im = _cmm(fr, fi, rc_re, rc_im)
+    dd = jnp.sqrt(jnp.clip(ps_ref[:], 0.0, None) /
+                  jnp.asarray(nfreqs_true, fdt))
+    ddc = dd[:, :, None]
+    bu_re = ddc * frc_re + oa_re[:] * tmask
+    bu_im = ddc * frc_im + oa_im[:] * tmask
+
+    # --- 4. embedded equilibrated system + solve --------------------------
+    ptr = pt_re[:]
+    pti = pt_im[:]
+    eye = _eye(n, fdt)
+    diag_pt = jnp.sum(ptr * eye[None], axis=2)          # (bt, n)
+    dinv = jax.lax.rsqrt(jnp.maximum(
+        1.0 + dd * dd * diag_pt, jnp.finfo(fdt).tiny))
+    outer = ddc * dd[:, None, :]
+    dscale = dinv[:, :, None] * dinv[:, None, :]
+    s_re = (outer * ptr + eye[None]) * dscale
+    s_im = (outer * pti) * dscale
+    e_s[:, :n, :n] = s_re
+    e_s[:, :n, n:] = -s_im
+    e_s[:, n:, :n] = s_im
+    e_s[:, n:, n:] = s_re
+    dvc = dinv[:, :, None]
+    x_s[:, :n, :] = dvc * bu_re
+    x_s[:, n:, :] = dvc * bu_im
+
+    w_s[:] = e_s[:]
+    _spd_inv_into(w_s, inv_s, 0, 2 * n)
+    x = _bmm(inv_s[:], x_s[:])
+    for _ in range(refine):
+        r = x_s[:] - _bmm(e_s[:], x)
+        x = x + _bmm(inv_s[:], r)
+    u_re = dvc * x[:, :n, :]
+    u_im = dvc * x[:, n:, :]
+
+    # --- 5. delay stats + back-transform ---------------------------------
+    sk_re = ddc * u_re
+    sk_im = ddc * u_im
+    beta_o[:] = jnp.sum(sk_re * sk_re + sk_im * sk_im, axis=2)
+    ninv_n = 1.0 / jnp.asarray(nfreqs_true, fdt)
+    sig_re, sig_im = _cmm(fr * ninv_n, -fi * ninv_n, sk_re, sk_im)
+    sig_re_o[:] = sig_re
+    sig_im_o[:] = sig_im
+    # amps = maa_inv b_a - G^H sig + a0
+    ma_re, ma_im = _cmm(mi_re[:], mi_im[:], ba_re, ba_im)
+    gs_re, gs_im = _cmm(jnp.swapaxes(g_re[:], 1, 2),
+                        -jnp.swapaxes(g_im[:], 1, 2), sig_re, sig_im)
+    amp_re = ma_re - gs_re + a0_re[:]
+    amp_im = ma_im - gs_im + a0_im[:]
+    amp_re_o[:] = amp_re
+    amp_im_o[:] = amp_im
+
+    # --- 6. residual diagnostics -----------------------------------------
+    fa_re, fa_im = _cmm(fgr, fgi, amp_re, amp_im)
+    res_re = dw_re[:] - sig_re - fa_re
+    res_im = dw_im[:] - sig_im - fa_im
+    res2 = res_re * res_re + res_im * res_im
+    ninvf = ninvf_ref[:][:, :, None]
+    chi_o[:] = res2 * ninvf
+    wv = w_ref[:]
+    noise_o[:] = jnp.sum(res2 * (wv[:, :, None] * ninvf), axis=2)
+    if all_unflagged:
+        bmask_o[:] = beta_o[:]
+    else:
+        ws_re = wv[:, :, None] * sig_re
+        ws_im = wv[:, :, None] * sig_im
+        skm_re, skm_im = _cmm(fr, fi, ws_re, ws_im)
+        bmask_o[:] = jnp.sum(skm_re * skm_re + skm_im * skm_im, axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfreqs_true", "ntimes_true", "batch_tile", "refine",
+                     "all_unflagged"),
+)
+def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
+                 ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+                 a0_re, a0_im, f_re, f_im, oa_re, oa_im, ob_re, ob_im,
+                 *, nfreqs_true: int, ntimes_true: int, batch_tile: int = 8,
+                 refine: int = 1, all_unflagged: bool = True):
+    """One fused GCR draw + statistics for the whole batch.
+
+    All array arguments are already padded/transposed by
+    models/rgibbs.build_mega_operators: matrices (B, n, n) with n a
+    multiple of 128 (identity-safe zero padding), time-transposed arrays
+    (B, n, T) with T a multiple of 128, mode arrays padded to m
+    a multiple of 8. Returns
+    ``(sig_re, sig_im, amp_re, amp_im, chisq_t, beta, noise_nu, beta_masked)``
+    in the transposed layout.
+    """
+    B, n, _ = pt_re.shape
+    t = nid_re.shape[2]
+    m = fg_re.shape[2]
+
+    pad_b = (-B) % batch_tile
+    if pad_b:
+        def pb(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad_b,) + x.shape[1:])], 0)
+        (pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full, w,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im,
+         oa_re, oa_im, ob_re, ob_im) = map(pb, (
+            pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full,
+            w, fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im,
+            oa_re, oa_im, ob_re, ob_im))
+    bp = pt_re.shape[0]
+    grid = (bp // batch_tile,)
+
+    bmat = lambda d2, d3: pl.BlockSpec((batch_tile, d2, d3),
+                                       lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    bvec = pl.BlockSpec((batch_tile, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bshared = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bmat(n, n), bmat(n, n),            # p_tilde
+        bvec, bvec,                        # ps, nih
+        bmat(n, t), bmat(n, t),            # ni_d
+        bmat(n, t), bmat(n, t),            # d_w
+        bvec, bvec,                        # ninv_full, w
+        bmat(n, m), bmat(n, m),            # fg
+        bmat(n, m), bmat(n, m),            # g_mat
+        bmat(m, m), bmat(m, m),            # maa_inv
+        bmat(m, t), bmat(m, t),            # a0
+        bshared, bshared,                  # f
+        bmat(n, t), bmat(n, t),            # omega_a (delay)
+        bmat(n, t), bmat(n, t),            # omega_b
+    ]
+    out_specs = [
+        bmat(n, t), bmat(n, t),            # sig
+        bmat(m, t), bmat(m, t),            # amps
+        bmat(n, t),                        # chisq
+        bvec, bvec, bvec,                  # beta, noise_nu, beta_masked
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((bp, m, t), jnp.float32),
+        jax.ShapeDtypeStruct((bp, m, t), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+    ]
+    n2 = 2 * n
+    outs = pl.pallas_call(
+        functools.partial(_mega_kernel, nfreqs_true, ntimes_true, refine,
+                          all_unflagged),
+        # CPU (tests, CPU CLI runs): interpreter instead of Mosaic
+        interpret=(jax.default_backend() == "cpu"),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # E
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # Schur workspace
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # inverse
+            pltpu.VMEM((batch_tile, n2, t), jnp.float32),   # embedded RHS
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full, w,
+      fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im, f_re, f_im,
+      oa_re, oa_im, ob_re, ob_im)
+    if pad_b:
+        outs = [o[:B] for o in outs]
+    return tuple(outs)

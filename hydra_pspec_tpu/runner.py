@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import gcr, gibbs, rgibbs
+from .models import gcr, gibbs, mega, rgibbs
 from .ops import cplx
 from .parallel import mesh as pmesh
 from .parallel import partition as ppart
@@ -61,6 +61,21 @@ class RunResult:
     signal_S: np.ndarray
     out_dir: Optional[Path]
     write_time: float = 0.0
+
+
+# operator-tree fields shared across the batch (replicated on the mesh)
+_SHARED_FIELDS = {
+    "real": ("f", "igt"),
+    "mega": ("f_re", "f_im", "igt"),
+    "complex": ("fourier_op",),
+}
+
+
+def _split_ops(ops_b, engine):
+    names = _SHARED_FIELDS[engine]
+    shared = {k: getattr(ops_b, k) for k in names}
+    body = ops_b._replace(**{k: None for k in names})
+    return body, shared
 
 
 def _initial_ps_host(S_initial, nfreqs):
@@ -129,6 +144,16 @@ def run_baselines(
         niter = 1
         write_niter = 1
     engine = select_engine(engine)
+    if engine == "mega" and (
+        map_estimate
+        or any(np.ndim(j.Ninv) == 2
+               and np.abs(np.asarray(j.Ninv)
+                          - np.diag(np.diag(np.asarray(j.Ninv)))).max() > 0
+               for j in jobs)
+    ):
+        # the mega kernel covers the production sampling path; MAP mode and
+        # dense noise run through the general real-pair engine
+        engine = "real"
     if any(j.flags_tf is not None for j in jobs):
         return _run_baselines_tflags(
             jobs, ps_prior, niter, seed=seed, nchains=nchains,
@@ -152,7 +177,22 @@ def run_baselines(
     ps0_list = [
         _initial_ps_host(job.S_initial, nfreqs) for job in jobs
     ]
-    if engine == "real":
+    mega_dims = None
+    if engine == "mega":
+        ops_list = [
+            rgibbs.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv)
+            for job in jobs
+        ]
+        stacked = rgibbs.stack_chain_operators([ops_list[ib] for ib, _ in meta])
+        ops_b, mega_dims = mega.from_chain_operators(stacked)
+        ps_b = mega.pad_ps(
+            jnp.asarray(np.stack([ps0_list[ib] for ib, _ in meta]),
+                        dtype=jnp.float32),
+            mega_dims,
+        )
+        prior = jnp.zeros((2, mega_dims.n), dtype=jnp.float32).at[
+            :, : mega_dims.nfreqs].set(prior.astype(jnp.float32))
+    elif engine == "real":
         ops_list = [
             rgibbs.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv)
             for job in jobs
@@ -212,30 +252,15 @@ def run_baselines(
                     [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
                 )
 
-            if engine == "real":
-                ops_b = jax.tree.map(
-                    _pad, ops_b._replace(f=None, igt=None)
-                )._replace(f=ops_b.f, igt=ops_b.igt)
-            else:
-                ops_b = jax.tree.map(
-                    _pad, ops_b._replace(fourier_op=None)
-                )._replace(fourier_op=ops_b.fourier_op)
+            body, shared = _split_ops(ops_b, engine)
+            ops_b = jax.tree.map(_pad, body)._replace(**shared)
             ps_b = _pad(ps_b)
             keys_b = _pad(keys_b)
         dev_mesh = pmesh.make_mesh()
-        if engine == "real":
-            body = pmesh.host_local_to_global(
-                ops_b._replace(f=None, igt=None), dev_mesh
-            )
-            shared = pmesh.replicated_to_global(
-                {"f": ops_b.f, "igt": ops_b.igt}, dev_mesh
-            )
-            ops_b = body._replace(f=shared["f"], igt=shared["igt"])
-        else:
-            fop = pmesh.replicated_to_global(ops_b.fourier_op, dev_mesh)
-            ops_b = pmesh.host_local_to_global(
-                ops_b._replace(fourier_op=None), dev_mesh
-            )._replace(fourier_op=fop)
+        body, shared = _split_ops(ops_b, engine)
+        body = pmesh.host_local_to_global(body, dev_mesh)
+        shared = pmesh.replicated_to_global(shared, dev_mesh)
+        ops_b = body._replace(**shared)
         ps_b = pmesh.host_local_to_global(ps_b, dev_mesh)
         keys_b = jax.random.wrap_key_data(
             pmesh.host_local_to_global(keys_b, dev_mesh)
@@ -252,33 +277,15 @@ def run_baselines(
                     [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
                 )
 
-            if engine == "real":
-                ops_b = jax.tree.map(
-                    _pad, ops_b._replace(f=None, igt=None)
-                )._replace(f=ops_b.f, igt=ops_b.igt)
-            else:
-                ops_b = jax.tree.map(
-                    _pad, ops_b._replace(fourier_op=None)
-                )._replace(fourier_op=ops_b.fourier_op)
+            body, shared = _split_ops(ops_b, engine)
+            ops_b = jax.tree.map(_pad, body)._replace(**shared)
             ps_b = _pad(ps_b)
             keys_b = _pad(keys_b)
-        if engine == "real":
-            shared = {"f": ops_b.f, "igt": ops_b.igt}
-            body = pmesh.shard_batch(
-                ops_b._replace(f=None, igt=None), dev_mesh
-            )
-            rep = pmesh.replicated_sharding(dev_mesh)
-            ops_b = body._replace(
-                f=jax.tree.map(lambda x: jax.device_put(x, rep), shared["f"]),
-                igt=jax.tree.map(lambda x: jax.device_put(x, rep), shared["igt"]),
-            )
-        else:
-            fop = jax.device_put(
-                ops_b.fourier_op, pmesh.replicated_sharding(dev_mesh)
-            )
-            ops_b = pmesh.shard_batch(
-                ops_b._replace(fourier_op=None), dev_mesh
-            )._replace(fourier_op=fop)
+        body, shared = _split_ops(ops_b, engine)
+        body = pmesh.shard_batch(body, dev_mesh)
+        rep = pmesh.replicated_sharding(dev_mesh)
+        shared = jax.tree.map(lambda x: jax.device_put(x, rep), shared)
+        ops_b = body._replace(**shared)
         ps_b = pmesh.shard_batch(ps_b, dev_mesh)
         keys_b = pmesh.shard_batch(keys_b, dev_mesh)
     # Staging is async; block so t_scatter measures real transfer time
@@ -288,7 +295,15 @@ def run_baselines(
     t_scatter = time.perf_counter() - t_scatter0
 
     # --- per-chunk step functions ---------------------------------------
-    if engine == "real":
+    if engine == "mega":
+        def run_chunk(chunk_key_base, ps, n):
+            return mega.run_chain_mega_jit(
+                chunk_key_base, ops_b, mega_dims, ps, prior, n,
+                store_cr=store_cr, prior_idx=prior_idx_j,
+            )
+        # outputs: (niter, B, ...) — scan-major
+        batch_axis = 1
+    elif engine == "real":
         def run_chunk(chunk_key_base, ps, n):
             # one key per chunk; rgibbs folds per-iteration internally
             return rgibbs.run_chain_jit(
@@ -339,6 +354,8 @@ def run_baselines(
             if prefix is not None:
                 start_iter = ck["iteration"]
                 ckps = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
+                if engine == "mega":
+                    ckps = mega.pad_ps(ckps, mega_dims)
                 npad = ps_b.shape[0] - n_real
                 if npad:
                     ckps = jnp.concatenate(
@@ -366,7 +383,7 @@ def run_baselines(
     done = start_iter
     while done < niter:
         n = min(write_niter, niter - done)
-        if engine == "real":
+        if engine in ("real", "mega"):
             chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
             ps_b, samples = run_chunk(chunk_key, ps_b, n)
         else:
@@ -394,7 +411,8 @@ def run_baselines(
                 hio.save_checkpoint(
                     run_dir,
                     iteration=done,
-                    ps=ps_host[:n_real],
+                    # padded engines store the true-width state
+                    ps=ps_host[:n_real, :nfreqs],
                     key_data=jax.random.key_data(base_key),
                     extra={"niter": niter, "engine": engine,
                            "nchains": nchains},
@@ -451,7 +469,7 @@ def _host(a, batch_axis):
 
 def _to_host(samples, engine, store_cr, batch_axis, n_real):
     h = lambda a: _host(a, batch_axis)
-    if engine == "real":
+    if engine in ("real", "mega"):
         cr = (h(samples.signal_cr.re) + 1j * h(samples.signal_cr.im)
               if store_cr else None)
         fga = (h(samples.fg_amps.re) + 1j * h(samples.fg_amps.im)

@@ -63,6 +63,10 @@ CASES = {
     "v1": lambda e, b: spd_solve.spd_factor_solve(e, b),
     "v2bt16": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=16, refine=1),
     "v2bt4": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=4, refine=1),
+    "v2bt32": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=32, refine=1),
+    "v1bt16": lambda e, b: spd_solve.spd_factor_solve(e, b, batch_tile=16),
+    "v2bt16r0": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=16,
+                                                   refine=0),
 }
 
 
