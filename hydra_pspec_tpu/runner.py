@@ -376,6 +376,11 @@ def run_baselines(
     # --- chunked scan with host flushes ---------------------------------
     host_chunks = []
     write_time = 0.0
+    writer = None
+    if jobs[0].out_dir is not None:
+        from .utils.fastio import AsyncNpyWriter
+
+        writer = AsyncNpyWriter()  # native pool; falls back to np.save
     ckpt_every = max(1, -(-checkpoint_niter // write_niter)) \
         if checkpoint_niter > 0 else 1
     n_chunks = 0
@@ -402,7 +407,13 @@ def run_baselines(
         t0 = time.perf_counter()
         if jobs[0].out_dir is not None:
             _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr,
-                   nfreqs, prefix)
+                   nfreqs, prefix, writer)
+            # durability ordering: all sample files on disk BEFORE the
+            # checkpoint records `done`
+            if writer is not None:
+                failed = writer.wait()
+                if failed:
+                    raise IOError(f"{failed} async sample writes failed")
             if checkpoint and run_dir is not None and (
                 n_chunks % ckpt_every == 0 or done >= niter
             ):
@@ -419,6 +430,8 @@ def run_baselines(
                     tag=ck_tag,
                 )
         write_time += time.perf_counter() - t0
+    if writer is not None:
+        writer.close()
     t_process = time.perf_counter() - t0_proc
 
     results = _collect(
@@ -557,7 +570,7 @@ def _final_S(ps_last, nfreqs):
 
 
 def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
-           prefix=None):
+           prefix=None, writer=None):
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
         if job.out_dir is None:
@@ -574,6 +587,7 @@ def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
             fga if fga is not None else np.zeros(0),
             chi,
             lnp,
+            writer=writer,
         )
 
 

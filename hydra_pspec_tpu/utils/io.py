@@ -23,17 +23,22 @@ SAMPLE_FILENAMES = {
 }
 
 
-def write_numpy_files(fp, signal_cr, signal_S, signal_ps, fg_amps, chisq, ln_post):
+def write_numpy_files(fp, signal_cr, signal_S, signal_ps, fg_amps, chisq,
+                      ln_post, writer=None):
     """Write the six sample arrays with the reference's fixed filenames
-    (hydra_pspec/utils.py:272-313)."""
+    (hydra_pspec/utils.py:272-313). ``writer``: optional
+    utils.fastio.AsyncNpyWriter — writes are queued on its native thread
+    pool (caller barriers with ``writer.wait()`` before recording a
+    checkpoint); None falls back to synchronous np.save."""
     fp = Path(fp)
     fp.mkdir(parents=True, exist_ok=True)
-    np.save(fp / SAMPLE_FILENAMES["signal_cr"], np.asarray(signal_cr))
-    np.save(fp / SAMPLE_FILENAMES["signal_S"], np.asarray(signal_S))
-    np.save(fp / SAMPLE_FILENAMES["signal_ps"], np.asarray(signal_ps))
-    np.save(fp / SAMPLE_FILENAMES["fg_amps"], np.asarray(fg_amps))
-    np.save(fp / SAMPLE_FILENAMES["chisq"], np.asarray(chisq))
-    np.save(fp / SAMPLE_FILENAMES["ln_post"], np.asarray(ln_post))
+    save = writer.save if writer is not None else np.save
+    save(fp / SAMPLE_FILENAMES["signal_cr"], np.asarray(signal_cr))
+    save(fp / SAMPLE_FILENAMES["signal_S"], np.asarray(signal_S))
+    save(fp / SAMPLE_FILENAMES["signal_ps"], np.asarray(signal_ps))
+    save(fp / SAMPLE_FILENAMES["fg_amps"], np.asarray(fg_amps))
+    save(fp / SAMPLE_FILENAMES["chisq"], np.asarray(chisq))
+    save(fp / SAMPLE_FILENAMES["ln_post"], np.asarray(ln_post))
 
 
 def add_mtime_to_filepath(fp, join_char="-"):
