@@ -151,17 +151,32 @@ def gibbs_step_mega(
     refine: int = 1,
     batch_tile: int = 8,
     store_cr: bool = True,
+    inkernel_rng: bool = False,
 ):
     """One Gibbs alternation through the mega-kernel. ``ps_pad`` and
-    ``ps_prior_pad`` live in the padded basis (see :func:`pad_ps`)."""
+    ``ps_prior_pad`` live in the padded basis (see :func:`pad_ps`).
+    ``inkernel_rng``: draw the fluctuation vectors with the TPU core PRNG
+    inside the kernel (different — equally valid — random stream than the
+    threefry path; seeds derive from ``key``)."""
     B = ps_pad.shape[0]
     n, t = dims.n, dims.t
     k_oma, k_omb, k_ps = jax.random.split(key, 3)
-    half = np.sqrt(0.5).astype(np.float32)
-    # omega_a drawn directly in the delay basis with covariance nfreqs*I
-    sa = half * np.sqrt(np.float32(dims.nfreqs))
-    oa_re = jax.random.normal(k_oma, (2, B, n, t), dtype=jnp.float32) * sa
-    ob_re = jax.random.normal(k_omb, (2, B, n, t), dtype=jnp.float32) * half
+    common = dict(
+        nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
+        batch_tile=batch_tile, refine=refine,
+        all_unflagged=dims.all_unflagged,
+    )
+    if inkernel_rng:
+        seed = jax.random.randint(
+            k_oma, (1, 1), minval=-2**31, maxval=2**31 - 1, dtype=jnp.int32)
+        omegas = dict(seed=seed, inkernel_rng=True)
+    else:
+        half = np.sqrt(0.5).astype(np.float32)
+        # omega_a drawn directly in the delay basis with covariance nfreqs*I
+        sa = half * np.sqrt(np.float32(dims.nfreqs))
+        oa = jax.random.normal(k_oma, (2, B, n, t), dtype=jnp.float32) * sa
+        ob = jax.random.normal(k_omb, (2, B, n, t), dtype=jnp.float32) * half
+        omegas = dict(oa_re=oa[0], oa_im=oa[1], ob_re=ob[0], ob_im=ob[1])
 
     sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask = gcr_megastep(
         mops.pt_re, mops.pt_im, ps_pad, mops.nih,
@@ -170,10 +185,7 @@ def gibbs_step_mega(
         mops.fg_re, mops.fg_im, mops.g_re, mops.g_im,
         mops.mi_re, mops.mi_im, mops.a0_re, mops.a0_im,
         mops.f_re, mops.f_im,
-        oa_re[0], oa_re[1], ob_re[0], ob_re[1],
-        nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
-        batch_tile=batch_tile, refine=refine,
-        all_unflagged=dims.all_unflagged,
+        **omegas, **common,
     )
 
     ps_new = sample_bandpowers_from_beta(
@@ -212,7 +224,7 @@ def gibbs_step_mega(
 def run_chain_mega(
     key, mops: MegaOperators, dims: MegaDims, ps0_pad, ps_prior_pad,
     niter: int, store_cr: bool = True, prior_idx=None, refine: int = 1,
-    batch_tile: int = 8,
+    batch_tile: int = 8, inkernel_rng: bool = False,
 ):
     """``lax.scan`` over iterations of the mega step (batch-first)."""
 
@@ -220,7 +232,7 @@ def run_chain_mega(
         return gibbs_step_mega(
             jax.random.fold_in(key, i), ps, mops, dims, ps_prior_pad,
             prior_idx=prior_idx, refine=refine, batch_tile=batch_tile,
-            store_cr=store_cr,
+            store_cr=store_cr, inkernel_rng=inkernel_rng,
         )
 
     return jax.lax.scan(body, ps0_pad, jnp.arange(niter))
@@ -228,5 +240,6 @@ def run_chain_mega(
 
 run_chain_mega_jit = jax.jit(
     run_chain_mega,
-    static_argnames=("dims", "niter", "store_cr", "refine", "batch_tile"),
+    static_argnames=("dims", "niter", "store_cr", "refine", "batch_tile",
+                     "inkernel_rng"),
 )

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,16 +52,47 @@ def _eye(n, dtype):
     return (r == c).astype(dtype)
 
 
+def bits_to_normals(bits1, bits2, dtype=jnp.float32):
+    """Box-Muller: two uint32 bit tensors -> two standard-normal tensors.
+    Pure jnp (unit-testable outside kernels); uses the top 24 bits as
+    log-safe (0, 1) uniforms."""
+    scale = jnp.asarray(1.0 / (1 << 24), dtype)
+    u1 = (bits1 >> 8).astype(dtype) * scale + jnp.asarray(2.0 ** -25, dtype)
+    u2 = (bits2 >> 8).astype(dtype) * scale
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = jnp.asarray(2.0 * np.pi, dtype) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _normal_pairs(shape, dtype):
+    """Two independent standard-normal tensors from the core PRNG
+    (pltpu.prng_random_bits + Box-Muller). Caller must have seeded.
+    NOTE: real entropy only on hardware — the TPU interpreter stubs
+    prng_random_bits, so in-kernel RNG is validated on device."""
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits_to_normals(bits1, bits2, dtype)
+
+
 def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
-                 all_unflagged: bool,
-                 pt_re, pt_im, ps_ref, nih_ref,
-                 nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
-                 fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-                 a0_re, a0_im, f_re, f_im,
-                 oa_re, oa_im, ob_re, ob_im,
-                 sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-                 chi_o, beta_o, noise_o, bmask_o,
-                 e_s, w_s, inv_s, x_s):
+                 all_unflagged: bool, inkernel_rng: bool, *refs):
+    if inkernel_rng:
+        (pt_re, pt_im, ps_ref, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im, seed_ref,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, beta_o, noise_o, bmask_o,
+         e_s, w_s, inv_s, x_s) = refs
+    else:
+        (pt_re, pt_im, ps_ref, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im,
+         oa_re, oa_im, ob_re, ob_im,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, beta_o, noise_o, bmask_o,
+         e_s, w_s, inv_s, x_s) = refs
     bt, n, _ = pt_re.shape
     t = nid_re.shape[2]
     fdt = pt_re.dtype
@@ -69,10 +101,27 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     tmask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
              < ntimes_true).astype(fdt)
 
+    if inkernel_rng:
+        # core PRNG: one stream per (iteration seed, grid step)
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        half = jnp.asarray(np.sqrt(0.5), fdt)
+        obr, obi = _normal_pairs((bt, n, t), fdt)
+        obr = obr * half
+        obi = obi * half
+        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
+        oar, oai = _normal_pairs((bt, n, t), fdt)
+        oar = oar * sa
+        oai = oai * sa
+    else:
+        oar = oa_re[:]
+        oai = oa_im[:]
+        obr = ob_re[:]
+        obi = ob_im[:]
+
     # --- 1. rc = ni_d + nih * omega_b -------------------------------------
     nih = nih_ref[:][:, :, None]
-    rc_re = nid_re[:] + nih * (ob_re[:] * tmask)
-    rc_im = nid_im[:] + nih * (ob_im[:] * tmask)
+    rc_re = nid_re[:] + nih * (obr * tmask)
+    rc_im = nid_im[:] + nih * (obi * tmask)
 
     # --- 2. FG Schur reduction -------------------------------------------
     fgr = fg_re[:]
@@ -90,8 +139,8 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     dd = jnp.sqrt(jnp.clip(ps_ref[:], 0.0, None) /
                   jnp.asarray(nfreqs_true, fdt))
     ddc = dd[:, :, None]
-    bu_re = ddc * frc_re + oa_re[:] * tmask
-    bu_im = ddc * frc_im + oa_im[:] * tmask
+    bu_re = ddc * frc_re + oar * tmask
+    bu_im = ddc * frc_im + oai * tmask
 
     # --- 4. embedded equilibrated system + solve --------------------------
     ptr = pt_re[:]
@@ -159,39 +208,46 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
 @functools.partial(
     jax.jit,
     static_argnames=("nfreqs_true", "ntimes_true", "batch_tile", "refine",
-                     "all_unflagged"),
+                     "all_unflagged", "inkernel_rng"),
 )
 def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
                  ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-                 a0_re, a0_im, f_re, f_im, oa_re, oa_im, ob_re, ob_im,
+                 a0_re, a0_im, f_re, f_im, oa_re=None, oa_im=None,
+                 ob_re=None, ob_im=None, seed=None,
                  *, nfreqs_true: int, ntimes_true: int, batch_tile: int = 8,
-                 refine: int = 1, all_unflagged: bool = True):
+                 refine: int = 1, all_unflagged: bool = True,
+                 inkernel_rng: bool = False):
     """One fused GCR draw + statistics for the whole batch.
 
     All array arguments are already padded/transposed by
-    models/rgibbs.build_mega_operators: matrices (B, n, n) with n a
+    models/mega.build_mega_operators: matrices (B, n, n) with n a
     multiple of 128 (identity-safe zero padding), time-transposed arrays
     (B, n, T) with T a multiple of 128, mode arrays padded to m
     a multiple of 8. Returns
     ``(sig_re, sig_im, amp_re, amp_im, chisq_t, beta, noise_nu, beta_masked)``
     in the transposed layout.
+
+    ``inkernel_rng``: draw the fluctuation vectors with the core PRNG
+    (Box-Muller over pltpu.prng_random_bits) seeded from ``seed`` (a
+    (1, 1) int32) — no omega inputs, no HBM traffic for randomness.
+    Otherwise pass omegas explicitly.
     """
     B, n, _ = pt_re.shape
     t = nid_re.shape[2]
     m = fg_re.shape[2]
 
     pad_b = (-B) % batch_tile
+    batched = [pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
+               ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+               a0_re, a0_im]
+    if not inkernel_rng:
+        batched += [oa_re, oa_im, ob_re, ob_im]
     if pad_b:
         def pb(x):
             return jnp.concatenate(
                 [x, jnp.broadcast_to(x[:1], (pad_b,) + x.shape[1:])], 0)
-        (pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full, w,
-         fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im,
-         oa_re, oa_im, ob_re, ob_im) = map(pb, (
-            pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full,
-            w, fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im,
-            oa_re, oa_im, ob_re, ob_im))
-    bp = pt_re.shape[0]
+        batched = [pb(x) for x in batched]
+    bp = batched[0].shape[0]
     grid = (bp // batch_tile,)
 
     bmat = lambda d2, d3: pl.BlockSpec((batch_tile, d2, d3),
@@ -212,9 +268,16 @@ def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
         bmat(m, m), bmat(m, m),            # maa_inv
         bmat(m, t), bmat(m, t),            # a0
         bshared, bshared,                  # f
-        bmat(n, t), bmat(n, t),            # omega_a (delay)
-        bmat(n, t), bmat(n, t),            # omega_b
     ]
+    operands = list(batched[:18]) + [f_re, f_im]
+    if inkernel_rng:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, dtype=jnp.int32).reshape(1, 1))
+    else:
+        in_specs += [bmat(n, t), bmat(n, t),   # omega_a (delay)
+                     bmat(n, t), bmat(n, t)]   # omega_b
+        operands += batched[18:]
     out_specs = [
         bmat(n, t), bmat(n, t),            # sig
         bmat(m, t), bmat(m, t),            # amps
@@ -234,7 +297,7 @@ def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
     n2 = 2 * n
     outs = pl.pallas_call(
         functools.partial(_mega_kernel, nfreqs_true, ntimes_true, refine,
-                          all_unflagged),
+                          all_unflagged, inkernel_rng),
         # CPU (tests, CPU CLI runs): interpreter instead of Mosaic
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
@@ -250,9 +313,7 @@ def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im, ninv_full, w,
-      fg_re, fg_im, g_re, g_im, mi_re, mi_im, a0_re, a0_im, f_re, f_im,
-      oa_re, oa_im, ob_re, ob_im)
+    )(*operands)
     if pad_b:
         outs = [o[:B] for o in outs]
     return tuple(outs)

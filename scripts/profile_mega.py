@@ -28,6 +28,7 @@ REPS = int(os.environ.get("PROF_REPS", "5"))
 STORE_CR = os.environ.get("PROF_STORE_CR", "1") == "1"
 REFINE = int(os.environ.get("PROF_REFINE", "1"))
 BT = int(os.environ.get("PROF_BT", "8"))
+INK_RNG = os.environ.get("PROF_RNG", "0") == "1"
 
 
 def main():
@@ -62,7 +63,7 @@ def main():
         ps_f, samples = mega.run_chain_mega_jit(
             jax.random.fold_in(jax.random.key(0), rep), mops_b, dims, ps_b,
             prior_pad, NITER, store_cr=STORE_CR, prior_idx=prior_idx,
-            refine=REFINE, batch_tile=BT,
+            refine=REFINE, batch_tile=BT, inkernel_rng=INK_RNG,
         )
         chi = (float(jnp.mean(samples.chisq[-5:])) if not STORE_CR
                else float(jnp.mean(samples.chisq[-5:])))
@@ -77,7 +78,7 @@ def main():
         once(r)
         ts.append(time.perf_counter() - t0)
     ts = np.array(ts)
-    print(f"mega store_cr={STORE_CR} refine={REFINE} bt={BT}: "
+    print(f"mega store_cr={STORE_CR} refine={REFINE} bt={BT} rng={INK_RNG}: "
           f"median {np.median(ts)*1e3/NITER:8.3f} ms/iter   "
           f"min {ts.min()*1e3/NITER:8.3f}", flush=True)
 

@@ -67,7 +67,81 @@ CASES = {
     "v1bt16": lambda e, b: spd_solve.spd_factor_solve(e, b, batch_tile=16),
     "v2bt16r0": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=16,
                                                    refine=0),
+    # pure launch + DMA floor: same shapes/grid as the solvers, no compute
+    "copy": lambda e, b: _copy_kernel(e, b),
+    # one fat batched matmul through the same pallas plumbing
+    "matmul": lambda e, b: _matmul_kernel(e, b),
 }
+
+
+def _copy_kernel(e, b, batch_tile=8):
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = e.shape
+    k = b.shape[-1]
+    npad = -(-n // 128) * 128
+    kpad = -(-k // 128) * 128
+    e = jnp.pad(e, ((0, 0), (0, npad - n), (0, npad - n)))
+    b = jnp.pad(b, ((0, 0), (0, npad - n), (0, kpad - k)))
+    pb = (-B) % batch_tile
+    if pb:
+        e = jnp.concatenate([e, e[:pb]], 0)
+        b = jnp.concatenate([b, b[:pb]], 0)
+
+    def kern(e_ref, b_ref, o_ref):
+        o_ref[:] = b_ref[:] + e_ref[:, :, :b_ref.shape[2]]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(e.shape[0] // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e.shape[0], npad, kpad), jnp.float32),
+    )(e, b)
+    return out[:B, :n, :k]
+
+
+def _matmul_kernel(e, b, batch_tile=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from hydra_pspec_tpu.ops.pallas.spd_solve import _bmm
+
+    B, n, _ = e.shape
+    k = b.shape[-1]
+    npad = -(-n // 128) * 128
+    kpad = -(-k // 128) * 128
+    e = jnp.pad(e, ((0, 0), (0, npad - n), (0, npad - n)))
+    b = jnp.pad(b, ((0, 0), (0, npad - n), (0, kpad - k)))
+    pb = (-B) % batch_tile
+    if pb:
+        e = jnp.concatenate([e, e[:pb]], 0)
+        b = jnp.concatenate([b, b[:pb]], 0)
+
+    def kern(e_ref, b_ref, o_ref):
+        o_ref[:] = _bmm(e_ref[:], b_ref[:])
+
+    out = pl.pallas_call(
+        kern,
+        grid=(e.shape[0] // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e.shape[0], npad, kpad), jnp.float32),
+    )(e, b)
+    return out[:B, :n, :k]
 
 
 def main():

@@ -165,6 +165,28 @@ def test_runner_mega_engine(tmp_path):
     assert dps.shape == (niter, d.shape[1])
 
 
+def test_bits_to_normals_statistics():
+    """Box-Muller transform correctness on controlled bits (the kernel's
+    pltpu.prng_random_bits is stubbed by the interpreter, so in-kernel
+    entropy is validated on device; the transform itself is pinned here)."""
+    from hydra_pspec_tpu.ops.pallas.megastep import bits_to_normals
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    bits1 = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    bits2 = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    a, b = (np.asarray(x) for x in bits_to_normals(bits1, bits2))
+    for z in (a, b):
+        assert np.isfinite(z).all()
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.01
+        # tail sanity: |z| > 3 with ~2.7e-3 probability
+        frac3 = (np.abs(z) > 3).mean()
+        assert 1e-3 < frac3 < 6e-3
+    # independence of the pair
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.01
+
+
 def test_mega_store_cr_layout():
     d, w, fg, ninv, ps = make_problem()
     mops, dims = mega.build_mega_operators(d, w, fg, ninv)
