@@ -112,6 +112,7 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
 
     d, w, fgmodes, eor_cov, ninv_diag, prior = problem
     solver = os.environ.get("BENCH_SOLVER", "auto")
+    engine = os.environ.get("BENCH_ENGINE", "real")
     dtype = jnp.float32
     ops1 = rgibbs.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
     # initial ps from the covariance — host-side numpy (the TPU backend has
@@ -120,25 +121,48 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     F = ref.fourier_operator(n)
     ps0 = np.clip(np.diagonal(F @ eor_cov @ F.conj().T).real, 0, None).astype(np.float32)
 
-    ops_b = rgibbs.broadcast_chain_operators(ops1, n_baselines)
-    ps_b = jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n))
     prior_j = jnp.asarray(prior, dtype=jnp.float32)
     prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
-
-    fn = rgibbs.run_chain_jit
-
     all_unflagged = bool(np.all(w == 1))
 
-    def once(rep, it):
-        ps_f, samples = fn(
-            jax.random.fold_in(jax.random.key(0), rep), ops_b, ps_b, prior_j,
-            it, False, 0.0, True, prior_idx, solver, all_unflagged,
-        )
-        # Force full dependency chain: block_until_ready on this backend's
-        # remote buffers can return before execution completes.
-        chi = float(jnp.mean(samples.chisq[-5:]))
-        lnp = float(jnp.sum(samples.ln_post))
-        return chi, lnp
+    if engine == "mega":
+        from hydra_pspec_tpu.models import mega
+
+        mops1, dims = mega.from_chain_operators(ops1)
+        mops_b = mega.broadcast_mega_operators(mops1, n_baselines)
+        ps_b = mega.pad_ps(
+            jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n)), dims)
+        prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32).at[:, :n].set(
+            prior_j)
+        ink = os.environ.get("BENCH_INKERNEL_RNG", "1") == "1"
+        refine = int(os.environ.get("BENCH_REFINE", "1"))
+        bt = int(os.environ.get("BENCH_BT", "8"))
+
+        def once(rep, it):
+            ps_f, samples = mega.run_chain_mega_jit(
+                jax.random.fold_in(jax.random.key(0), rep), mops_b, dims,
+                ps_b, prior_pad, it, store_cr=True, prior_idx=prior_idx,
+                refine=refine, batch_tile=bt, inkernel_rng=ink,
+            )
+            chi = float(jnp.mean(samples.chisq[-5:]))
+            lnp = float(jnp.sum(samples.ln_post))
+            return chi, lnp
+    else:
+        ops_b = rgibbs.broadcast_chain_operators(ops1, n_baselines)
+        ps_b = jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n))
+        fn = rgibbs.run_chain_jit
+
+        def once(rep, it):
+            ps_f, samples = fn(
+                jax.random.fold_in(jax.random.key(0), rep), ops_b, ps_b,
+                prior_j, it, False, 0.0, True, prior_idx, solver,
+                all_unflagged,
+            )
+            # Force full dependency chain: block_until_ready on this
+            # backend's remote buffers can return before execution completes.
+            chi = float(jnp.mean(samples.chisq[-5:]))
+            lnp = float(jnp.sum(samples.ln_post))
+            return chi, lnp
 
     once(98, niter)  # compile + warm the timed executable outside the timing
     # The remote dispatch path adds tens of ms of per-call jitter (the r1
