@@ -222,8 +222,20 @@ def sample_bandpowers_from_beta(key, beta, ntimes, prior, prior_idx=None,
 
     k_gamma, k_u = jax.random.split(key)
     # Unbounded: x = beta / Gamma(alpha, 1). beta may carry leading batch
-    # axes (the batch-first TPU engine).
-    g = jax.random.gamma(k_gamma, alpha, shape=beta.shape, dtype=real_dtype)
+    # axes (the batch-first TPU engine). alpha = ntimes - 1 is an integer,
+    # so Gamma(alpha, 1) = -sum of alpha log-uniforms EXACTLY — three dense
+    # ops instead of jax.random.gamma's rejection sampler (a
+    # data-dependent while_loop that costs ~ms on this backend). Falls
+    # back to the rejection sampler for very long time axes (memory).
+    alpha_int = int(ntimes) - 1
+    if alpha_int == round(alpha_int) and 0 < alpha_int <= 512:
+        u = jax.random.uniform(
+            k_gamma, (alpha_int,) + beta.shape, dtype=real_dtype)
+        g = -jnp.sum(jnp.log(jnp.maximum(u, jnp.finfo(real_dtype).tiny)),
+                     axis=0)
+    else:
+        g = jax.random.gamma(k_gamma, alpha, shape=beta.shape,
+                             dtype=real_dtype)
     free = beta / g
 
     def draw_trunc(u, b, lo, hi):
