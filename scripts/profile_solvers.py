@@ -71,7 +71,59 @@ CASES = {
     "copy": lambda e, b: _copy_kernel(e, b),
     # one fat batched matmul through the same pallas plumbing
     "matmul": lambda e, b: _matmul_kernel(e, b),
+    # factor-only cost (K=1 RHS): isolates base-case + panel work
+    "v1k1": lambda e, b: spd_solve.spd_factor_solve(e, b[:, :, :1]) + b,
+    "v2k1": lambda e, b: spd_inv.spd_inv_solve(e, b[:, :, :1], refine=0) + b,
+    # base-case microbenchmark: ONLY the 8 sequential chol32+inv32 chains
+    "base": lambda e, b: _base_kernel(e, b),
 }
+
+
+def _base_kernel(e, b, batch_tile=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from hydra_pspec_tpu.ops.pallas.spd_solve import (_chol_block,
+                                                      _inv_lower_block, NB)
+
+    B, n, _ = e.shape
+    k = b.shape[-1]
+    npad = -(-n // 128) * 128
+    kpad = -(-k // 128) * 128
+    e = jnp.pad(e, ((0, 0), (0, npad - n), (0, npad - n)))
+    b = jnp.pad(b, ((0, 0), (0, npad - n), (0, kpad - k)))
+    pb = (-B) % batch_tile
+    if pb:
+        e = jnp.concatenate([e, e[:pb]], 0)
+        b = jnp.concatenate([b, b[:pb]], 0)
+
+    def kern(e_ref, b_ref, o_ref):
+        acc = None
+        for j in range(npad // NB):
+            c0 = j * NB
+            blk = e_ref[:, c0:c0 + NB, c0:c0 + NB]
+            if acc is not None:
+                # chain the blocks so nothing is dead-code-eliminated and
+                # the sequential dependency matches the real factorization
+                blk = blk + acc[:, :NB, :NB] * 1e-20
+            l = _chol_block(blk)
+            acc = _inv_lower_block(l)
+        o_ref[:] = b_ref[:]
+        o_ref[:, :NB, :NB] = acc
+
+    out = pl.pallas_call(
+        kern,
+        grid=(e.shape[0] // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, npad, kpad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e.shape[0], npad, kpad), jnp.float32),
+    )(e, b)
+    return out[:B, :n, :k]
 
 
 def _copy_kernel(e, b, batch_tile=8):
