@@ -278,21 +278,31 @@ def gibbs_step(
     host-derived): when every chain has w == 1 the masked delay transform
     used by ln_post equals ``sk`` exactly — skip recomputing it."""
     batch, ntimes, nfreqs = ops.d_w.shape
-    k_oma, k_omb, k_ps = jax.random.split(key, 3)
+    # Per-chain keyed draws (fold_in by batch index): each chain's stream
+    # depends only on (key, its index), NOT on the total batch shape — so
+    # mesh padding and multi-process slot placement leave every real
+    # chain's samples bit-identical to an unpadded/single-process run.
+    kb = jax.vmap(lambda i: jax.random.split(jax.random.fold_in(key, i), 3))(
+        jnp.arange(batch)
+    )                                             # (B, 3) keys
+    k_oma, k_omb, k_ps = kb[:, 0], kb[:, 1], kb[:, 2]
 
     if map_estimate:
         omega_a = omega_b = None
     else:
+        def draw(keys):
+            return jax.vmap(
+                lambda k: cplx.standard_normal(
+                    k, (ntimes, nfreqs), dtype=ops.d_w.dtype
+                )
+            )(keys)
+
         # omega_a is drawn directly in the delay basis with covariance n*I
         # (= F @ standard normal in distribution) — saves a transform.
         scale = np.sqrt(nfreqs).astype(np.float32)
-        oa = cplx.standard_normal(
-            k_oma, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
-        )
+        oa = draw(k_oma)
         omega_a = C(oa.re * scale, oa.im * scale)
-        omega_b = cplx.standard_normal(
-            k_omb, (batch, ntimes, nfreqs), dtype=ops.d_w.dtype
-        )
+        omega_b = draw(k_omb)
     signal_cr, fg_amps, sk = gcr_solve(
         ops, ps, omega_a, omega_b, jitter=jitter, solver=solver
     )
@@ -305,9 +315,14 @@ def gibbs_step(
     # Bandpower draw from beta_k = sum_t |sk_t|^2 per chain (sk falls out
     # of the delay-basis solve for free)
     beta = jnp.sum(sk.abs2(), axis=1)                # (B, Nfreqs)
-    ps_new = sample_bandpowers_from_beta(
-        k_ps, beta, ntimes, ps_prior, prior_idx, ops.igt
-    )
+    # vmapped over per-chain keys for the same batch-composition
+    # invariance as the omega draws above (the table is chain-shared:
+    # alpha = Ntimes - 1 is a run constant).
+    ps_new = jax.vmap(
+        lambda k, b: sample_bandpowers_from_beta(
+            k, b, ntimes, ps_prior, prior_idx, ops.igt
+        )
+    )(k_ps, beta)
 
     # ln posterior under the new sample (multiplicative masking form)
     if ops.ni_dense is not None:

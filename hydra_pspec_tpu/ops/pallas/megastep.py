@@ -57,8 +57,11 @@ def bits_to_normals(bits1, bits2, dtype=jnp.float32):
     Pure jnp (unit-testable outside kernels); uses the top 24 bits as
     log-safe (0, 1) uniforms."""
     scale = jnp.asarray(1.0 / (1 << 24), dtype)
-    u1 = (bits1 >> 8).astype(dtype) * scale + jnp.asarray(2.0 ** -25, dtype)
-    u2 = (bits2 >> 8).astype(dtype) * scale
+    # Mosaic has no uint32->f32 cast; the top-24-bit values are < 2^24 so
+    # the detour through int32 is exact.
+    u1 = (bits1 >> 8).astype(jnp.int32).astype(dtype) * scale \
+        + jnp.asarray(2.0 ** -25, dtype)
+    u2 = (bits2 >> 8).astype(jnp.int32).astype(dtype) * scale
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = jnp.asarray(2.0 * np.pi, dtype) * u2
     return r * jnp.cos(th), r * jnp.sin(th)
