@@ -125,7 +125,26 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
     all_unflagged = bool(np.all(w == 1))
 
-    if engine == "mega":
+    if engine == "megachain":
+        from hydra_pspec_tpu.models import mega, megachain
+
+        mops1, dims = mega.from_chain_operators(ops1)
+        mops_b = mega.broadcast_mega_operators(mops1, n_baselines)
+        ps_b = mega.pad_ps(
+            jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n)), dims)
+        refine = int(os.environ.get("BENCH_REFINE", "1"))
+        bt = int(os.environ.get("BENCH_BT", "8"))
+
+        def once(rep, it):
+            ps_f, samples = megachain.run_chain_megachain(
+                jax.random.fold_in(jax.random.key(0), rep), mops_b, dims,
+                ps_b, prior, it, store_cr=True, refine=refine,
+                batch_tile=bt, chunk=it,
+            )
+            chi = float(jnp.mean(samples.chisq[-5:]))
+            lnp = float(jnp.sum(samples.ln_post))
+            return chi, lnp
+    elif engine == "mega":
         from hydra_pspec_tpu.models import mega
 
         mops1, dims = mega.from_chain_operators(ops1)

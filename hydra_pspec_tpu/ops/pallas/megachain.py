@@ -1,0 +1,377 @@
+"""Multi-iteration chain kernel: K whole Gibbs iterations per Pallas
+program — draw, solve, statistics AND the bandpower conditional all
+in-kernel, with the bandpower state carried in VMEM scratch.
+
+Why: the per-iteration cost floor of the single-step path is set by (a)
+the ~45 XLA ops around the kernel (RNG, bandpower sampler, ln_post), (b)
+the per-pallas_call DMA of all chain constants, and (c) fixed per-grid-step
+overhead. Running K iterations inside ONE program with grid
+``(batch_tiles, K)`` amortizes all three: chain constants have block index
+maps that depend only on the tile index, so Pallas's pipeline emitter
+fetches them once per tile (the index-unchanged copy is skipped); the
+bandpower draw happens on the VPU between solves; only the per-iteration
+sample outputs stream back to HBM.
+
+In-kernel bandpower conditional (mirrors ops/invgamma.py semantics,
+reference hydra_pspec/pspec.py:67-127):
+  * free bins: ``ps_k = beta_k / Gamma(alpha)`` with the exact
+    integer-alpha draw ``Gamma(alpha) = -sum_{r<alpha} log u_r``
+    (alpha = Ntimes - 1 is a run constant).
+  * prior bins (static index list): truncated inverse-gamma inversion
+    sampling through the tabulated ``Q(alpha+1, y)`` (InvGammaTable),
+    with searchsorted/gather realized as one-hot masked sums over the
+    table lanes (Mosaic has no gather).
+
+RNG: the TPU core PRNG (pltpu.prng_random_bits), seeded per (tile, k)
+grid step; Box-Muller for normals. The interpreter stubs the PRNG, so
+CPU tests drive the ``inkernel_rng=False`` mode where all randomness
+(omegas, gamma variates, prior uniforms) is passed in as per-iteration
+inputs — that mode is pinned against the single-step + XLA-sampler
+composition in tests/test_megachain.py.
+
+Replaces reference hot loop pspec.py:606-638 (the per-iteration Python
+loop over gibbs_step_fgmodes) at the kernel level.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megastep import _draw_body, _normal_pairs, bits_to_normals
+from .spd_solve import _bmm
+
+
+def _uniform_bits(shape, dtype=jnp.float32):
+    """(0, 1)-open uniforms from the core PRNG (top 24 bits; int32 detour
+    — Mosaic has no uint32->float cast)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    scale = jnp.asarray(1.0 / (1 << 24), dtype)
+    return ((bits >> 8).astype(jnp.int32).astype(dtype) * scale
+            + jnp.asarray(2.0 ** -25, dtype))
+
+
+def _gather_lane(row, idx):
+    """row (1, 1, S); idx (bt, p) int32 -> (bt, p) values row[idx]."""
+    s = row.shape[2]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+    oh = (lanes == idx[:, :, None]).astype(row.dtype)
+    return jnp.sum(oh * row, axis=2)
+
+
+def _q_at(tlog, qrow, y):
+    """Q(alpha, y) by linear interp in log y — in-kernel twin of
+    ops/invgamma._table_q_at (same clamping semantics)."""
+    s = tlog.shape[2]
+    fdt = y.dtype
+    ly = jnp.log(jnp.maximum(y, jnp.finfo(fdt).tiny))
+    cnt = jnp.sum((tlog < ly[:, :, None]).astype(jnp.int32), axis=2)
+    idx = jnp.clip(cnt, 1, s - 1)
+    l0 = _gather_lane(tlog, idx - 1)
+    l1 = _gather_lane(tlog, idx)
+    q0 = _gather_lane(qrow, idx - 1)
+    q1 = _gather_lane(qrow, idx)
+    t = jnp.clip((ly - l0) / jnp.maximum(l1 - l0, 1e-30), 0.0, 1.0)
+    return q0 + t * (q1 - q0)
+
+
+def _y_at(tlog, qrow, c):
+    """Inverse of the table: y with Q(alpha, y) = c — twin of
+    ops/invgamma._table_y_at. q is decreasing in y, so the reference
+    searches the reversed array; here the reversal is folded into the
+    gather indices (qr[i] == q[S-1-i])."""
+    s = tlog.shape[2]
+    cnt = jnp.sum((qrow < c[:, :, None]).astype(jnp.int32), axis=2)
+    idx = jnp.clip(cnt, 1, s - 1)
+    j0 = s - idx        # reversed idx-1
+    j1 = s - 1 - idx    # reversed idx
+    q0 = _gather_lane(qrow, j0)
+    q1 = _gather_lane(qrow, j1)
+    l0 = _gather_lane(tlog, j0)
+    l1 = _gather_lane(tlog, j1)
+    t = jnp.clip((c - q0) / jnp.maximum(q1 - q0, 1e-30), 0.0, 1.0)
+    return jnp.exp(l0 + t * (l1 - l0))
+
+
+_P_PAD = 8  # prior-bin lanes (reference window: 7 of 120 bins)
+
+
+def _sample_bandpowers_body(beta, g, u_pb, prior_static, tlog, qrow):
+    """In-kernel bandpower conditional. beta, g: (bt, n); u_pb: (bt, _P_PAD)
+    uniforms; prior_static: static tuple of (bin_index, lo, hi); tlog/qrow:
+    (1, 1, S) table rows. Returns ps_new (bt, n).
+
+    Pad delay bins carry beta == 0 and so stay exactly 0 (free = 0 / g)."""
+    bt, n = beta.shape
+    fdt = beta.dtype
+    free = beta / g
+    if not prior_static:
+        return free
+
+    # static one-hot selection of the prior bins into _P_PAD lanes
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, _P_PAD), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (n, _P_PAD), 1)
+    sel = None
+    for j, (idx, _, _) in enumerate(prior_static):
+        term = (r == idx) & (cc == j)
+        sel = term if sel is None else (sel | term)
+    sel = sel.astype(fdt)                               # (n, _P_PAD)
+
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, _P_PAD), 1)
+    lo = jnp.full((1, _P_PAD), 1.0, fdt)
+    hi = jnp.full((1, _P_PAD), 10.0, fdt)
+    for j, (_, lo_j, hi_j) in enumerate(prior_static):
+        lo = jnp.where(lane8 == j, jnp.asarray(lo_j, fdt), lo)
+        hi = jnp.where(lane8 == j, jnp.asarray(hi_j, fdt), hi)
+
+    beta_sub = jnp.sum(beta[:, :, None] * sel[None], axis=1)   # (bt, _P_PAD)
+    p_lo = _q_at(tlog, qrow, beta_sub / lo)
+    p_hi = _q_at(tlog, qrow, beta_sub / hi)
+    c = p_lo + u_pb * (p_hi - p_lo)
+    y = _y_at(tlog, qrow, c)
+    x = beta_sub / jnp.maximum(y, jnp.finfo(fdt).tiny)
+    x = jnp.clip(x, lo, hi)                                    # (bt, _P_PAD)
+
+    scat = jnp.sum(x[:, None, :] * sel[None], axis=2)          # (bt, n)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    has = None
+    for (idx, _, _) in prior_static:
+        term = lane_n == idx
+        has = term if has is None else (has | term)
+    has = has.astype(fdt)
+    return free * (1.0 - has) + scat * has
+
+
+def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
+                      all_unflagged: bool, inkernel_rng: bool,
+                      k_total: int, alpha_int: int, prior_static, *refs):
+    if inkernel_rng:
+        (pt_re, pt_im, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref, seed_ref,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, ps_o, noise_o, bmask_o, psf_o,
+         e_s, w_s, inv_s, x_s, ps_s) = refs
+    else:
+        (pt_re, pt_im, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
+         oa_re, oa_im, ob_re, ob_im, gam_ref, u_ref,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, ps_o, noise_o, bmask_o, psf_o,
+         e_s, w_s, inv_s, x_s, ps_s) = refs
+    bt, n, _ = pt_re.shape
+    t = nid_re.shape[2]
+    fdt = pt_re.dtype
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+
+    # bandpower state: seed from the input at the first inner step
+    @pl.when(k == 0)
+    def _():
+        ps_s[:] = ps0_ref[:]
+
+    ps = ps_s[:]
+
+    if inkernel_rng:
+        pltpu.prng_seed(seed_ref[0, 0] + i * k_total + k)
+        half = jnp.asarray(np.sqrt(0.5), fdt)
+        obr, obi = _normal_pairs((bt, n, t), fdt)
+        obr = obr * half
+        obi = obi * half
+        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
+        oar, oai = _normal_pairs((bt, n, t), fdt)
+        oar = oar * sa
+        oai = oai * sa
+    else:
+        oar = oa_re[0]
+        oai = oa_im[0]
+        obr = ob_re[0]
+        obi = ob_im[0]
+
+    fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
+    fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
+    (sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask) = _draw_body(
+        nfreqs_true, ntimes_true, refine, all_unflagged,
+        pt_re[:], pt_im[:], ps, nih_ref[:],
+        nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
+        fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
+        a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
+        e_s, w_s, inv_s, x_s,
+    )
+
+    # --- bandpower conditional, in-kernel --------------------------------
+    if inkernel_rng:
+        a_pad = -(-alpha_int // 8) * 8
+        u_al = _uniform_bits((a_pad, bt, n), fdt)
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (a_pad, 1, 1), 0)
+                   < alpha_int).astype(fdt)
+        gam = -jnp.sum(jnp.log(u_al) * rowmask, axis=0)      # (bt, n)
+        u_row = _uniform_bits((bt, 128), fdt)
+        u_pb = u_row[:, :_P_PAD]
+    else:
+        gam = gam_ref[0]
+        u_pb = u_ref[0][:, :_P_PAD]
+
+    tlog = tlog_ref[0:1, :][:, None, :]                       # (1, 1, S)
+    qrow = q_ref[0:1, :][:, None, :]
+    ps_new = _sample_bandpowers_body(beta, gam, u_pb, prior_static,
+                                     tlog, qrow)
+
+    sig_re_o[0] = sig_re
+    sig_im_o[0] = sig_im
+    amp_re_o[0] = amp_re
+    amp_im_o[0] = amp_im
+    chi_o[0] = chi
+    ps_o[0] = ps_new
+    noise_o[0] = noise_nu
+    bmask_o[0] = bmask
+    psf_o[:] = ps_new
+    ps_s[:] = ps_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
+                     "prior_static", "batch_tile", "refine",
+                     "all_unflagged", "inkernel_rng"),
+)
+def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
+                  ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+                  a0_re, a0_im, f_re, f_im, tlog8, q8, ps0,
+                  oa_re=None, oa_im=None, ob_re=None, ob_im=None,
+                  gam=None, u_pb=None, seed=None,
+                  *, nfreqs_true: int, ntimes_true: int, k_total: int,
+                  alpha_int: int, prior_static=(), batch_tile: int = 8,
+                  refine: int = 1, all_unflagged: bool = True,
+                  inkernel_rng: bool = True):
+    """K = ``k_total`` fused Gibbs iterations for the whole batch.
+
+    Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
+    are the (8, S) sublane-tiled InvGammaTable rows (log y and Q(alpha, y))
+    and ``ps0`` the (B, n) initial padded bandpowers. ``prior_static`` is a
+    static tuple of ``(bin_index, lo, hi)`` for the bounded bins.
+
+    With ``inkernel_rng=False`` (CPU tests), per-iteration randomness is
+    passed in: omegas (K, B, n, t) x4, ``gam`` (K, B, n) Gamma(alpha)
+    variates, ``u_pb`` (K, B, 128) uniforms (first 8 lanes used).
+
+    Returns ``(sig_re, sig_im, amp_re, amp_im, chi, ps, noise_nu, bmask,
+    ps_final)`` where the per-iteration outputs carry a leading K axis.
+    """
+    B, n, _ = pt_re.shape
+    t = nid_re.shape[2]
+    m = fg_re.shape[2]
+    K = k_total
+
+    pad_b = (-B) % batch_tile
+    batched = [pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
+               ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+               a0_re, a0_im]
+    per_iter = []
+    if not inkernel_rng:
+        per_iter = [oa_re, oa_im, ob_re, ob_im, gam, u_pb]
+    if pad_b:
+        def pb(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad_b,) + x.shape[1:])], 0)
+        batched = [pb(x) for x in batched]
+        ps0 = pb(ps0)
+
+        def pbk(x):  # (K, B, ...) -> pad axis 1
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:, :1], x.shape[:1] + (pad_b,)
+                                     + x.shape[2:])], 1)
+        per_iter = [pbk(x) for x in per_iter]
+    bp = batched[0].shape[0]
+    tiles = bp // batch_tile
+    grid = (tiles, K)
+
+    bmat = lambda d2, d3: pl.BlockSpec((batch_tile, d2, d3),
+                                       lambda i, k: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    bvec = pl.BlockSpec((batch_tile, n), lambda i, k: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bshared = pl.BlockSpec((n, n), lambda i, k: (0, 0),
+                           memory_space=pltpu.VMEM)
+    btab = pl.BlockSpec((8, tlog8.shape[1]), lambda i, k: (0, 0),
+                        memory_space=pltpu.VMEM)
+    kmat = lambda d2, d3: pl.BlockSpec((1, batch_tile, d2, d3),
+                                       lambda i, k: (k, i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    kvec = pl.BlockSpec((1, batch_tile, n), lambda i, k: (k, i, 0),
+                        memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bmat(n, n), bmat(n, n),            # p_tilde
+        bvec,                              # nih
+        bmat(n, t), bmat(n, t),            # ni_d
+        bmat(n, t), bmat(n, t),            # d_w
+        bvec, bvec,                        # ninv_full, w
+        bmat(n, m), bmat(n, m),            # fg
+        bmat(n, m), bmat(n, m),            # g_mat
+        bmat(m, m), bmat(m, m),            # maa_inv
+        bmat(m, t), bmat(m, t),            # a0
+        bshared, bshared,                  # f
+        btab, btab,                        # invgamma table rows
+        bvec,                              # ps0
+    ]
+    operands = list(batched) + [f_re, f_im, tlog8, q8, ps0]
+    if inkernel_rng:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, k: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(seed, dtype=jnp.int32).reshape(1, 1))
+    else:
+        in_specs += [kmat(n, t), kmat(n, t),   # omega_a (delay basis)
+                     kmat(n, t), kmat(n, t),   # omega_b
+                     kvec,                     # gamma variates
+                     pl.BlockSpec((1, batch_tile, 128),
+                                  lambda i, k: (k, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += per_iter
+    out_specs = [
+        kmat(n, t), kmat(n, t),            # sig
+        kmat(m, t), kmat(m, t),            # amps
+        kmat(n, t),                        # chisq
+        kvec, kvec, kvec,                  # ps, noise_nu, bmask
+        bvec,                              # final ps state
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+    ]
+    n2 = 2 * n
+    outs = pl.pallas_call(
+        functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
+                          refine, all_unflagged, inkernel_rng, K,
+                          alpha_int, tuple(prior_static)),
+        interpret=(jax.default_backend() == "cpu"),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # E
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # Schur workspace
+            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # inverse
+            pltpu.VMEM((batch_tile, n2, t), jnp.float32),   # embedded RHS
+            pltpu.VMEM((batch_tile, n), jnp.float32),       # ps state
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(*operands)
+    if pad_b:
+        outs = [o[:, :B] for o in outs[:-1]] + [outs[-1][:B]]
+    return tuple(outs)

@@ -77,77 +77,48 @@ def _normal_pairs(shape, dtype):
     return bits_to_normals(bits1, bits2, dtype)
 
 
-def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
-                 all_unflagged: bool, inkernel_rng: bool, *refs):
-    if inkernel_rng:
-        (pt_re, pt_im, ps_ref, nih_ref,
-         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
-         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-         a0_re, a0_im, f_re, f_im, seed_ref,
-         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-         chi_o, beta_o, noise_o, bmask_o,
-         e_s, w_s, inv_s, x_s) = refs
-    else:
-        (pt_re, pt_im, ps_ref, nih_ref,
-         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
-         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-         a0_re, a0_im, f_re, f_im,
-         oa_re, oa_im, ob_re, ob_im,
-         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-         chi_o, beta_o, noise_o, bmask_o,
-         e_s, w_s, inv_s, x_s) = refs
-    bt, n, _ = pt_re.shape
-    t = nid_re.shape[2]
-    fdt = pt_re.dtype
+def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
+               all_unflagged: bool,
+               ptr, pti, ps, nih, nidr, nidi, dwr, dwi, ninvf, wv,
+               fgr, fgi, gr, gi, mir, mii, a0r, a0i, fr, fi,
+               oar, oai, obr, obi, e_s, w_s, inv_s, x_s):
+    """Phases 1-6 of one GCR draw + statistics on loaded VMEM values.
+
+    All operands are values (already read from refs); ``e_s/w_s/inv_s/x_s``
+    are the (bt, 2n, 2n)/(bt, 2n, t) scratch refs. ``fr/fi`` are already
+    broadcast to (bt, n, n). Returns
+    ``(sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask)``.
+    Shared by the single-step kernel (``_mega_kernel``) and the
+    multi-iteration chain kernel (megachain.py)."""
+    bt, n, _ = ptr.shape
+    t = nidr.shape[2]
+    fdt = ptr.dtype
     # padded time columns must carry NO fluctuation draws (they'd leak into
     # beta/chisq): mask the omegas at the true time count
     tmask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
              < ntimes_true).astype(fdt)
 
-    if inkernel_rng:
-        # core PRNG: one stream per (iteration seed, grid step)
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        half = jnp.asarray(np.sqrt(0.5), fdt)
-        obr, obi = _normal_pairs((bt, n, t), fdt)
-        obr = obr * half
-        obi = obi * half
-        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        oar, oai = _normal_pairs((bt, n, t), fdt)
-        oar = oar * sa
-        oai = oai * sa
-    else:
-        oar = oa_re[:]
-        oai = oa_im[:]
-        obr = ob_re[:]
-        obi = ob_im[:]
-
     # --- 1. rc = ni_d + nih * omega_b -------------------------------------
-    nih = nih_ref[:][:, :, None]
-    rc_re = nid_re[:] + nih * (obr * tmask)
-    rc_im = nid_im[:] + nih * (obi * tmask)
+    nih = nih[:, :, None]
+    rc_re = nidr + nih * (obr * tmask)
+    rc_im = nidi + nih * (obi * tmask)
 
     # --- 2. FG Schur reduction -------------------------------------------
-    fgr = fg_re[:]
-    fgi = fg_im[:]
     ba_re, ba_im = _cmm(jnp.swapaxes(fgr, 1, 2), -jnp.swapaxes(fgi, 1, 2),
                         rc_re, rc_im)
-    gb_re, gb_im = _cmm(g_re[:], g_im[:], ba_re, ba_im)
+    gb_re, gb_im = _cmm(gr, gi, ba_re, ba_im)
     rc_re = rc_re - gb_re
     rc_im = rc_im - gb_im
 
     # --- 3. delay-basis RHS ----------------------------------------------
-    fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
-    fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
     frc_re, frc_im = _cmm(fr, fi, rc_re, rc_im)
-    dd = jnp.sqrt(jnp.clip(ps_ref[:], 0.0, None) /
+    dd = jnp.sqrt(jnp.clip(ps, 0.0, None) /
                   jnp.asarray(nfreqs_true, fdt))
     ddc = dd[:, :, None]
     bu_re = ddc * frc_re + oar * tmask
     bu_im = ddc * frc_im + oai * tmask
 
     # --- 4. embedded equilibrated system + solve --------------------------
-    ptr = pt_re[:]
-    pti = pt_im[:]
     eye = _eye(n, fdt)
     diag_pt = jnp.sum(ptr * eye[None], axis=2)          # (bt, n)
     dinv = jax.lax.rsqrt(jnp.maximum(
@@ -176,36 +147,92 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     # --- 5. delay stats + back-transform ---------------------------------
     sk_re = ddc * u_re
     sk_im = ddc * u_im
-    beta_o[:] = jnp.sum(sk_re * sk_re + sk_im * sk_im, axis=2)
+    beta = jnp.sum(sk_re * sk_re + sk_im * sk_im, axis=2)
     ninv_n = 1.0 / jnp.asarray(nfreqs_true, fdt)
     sig_re, sig_im = _cmm(fr * ninv_n, -fi * ninv_n, sk_re, sk_im)
-    sig_re_o[:] = sig_re
-    sig_im_o[:] = sig_im
     # amps = maa_inv b_a - G^H sig + a0
-    ma_re, ma_im = _cmm(mi_re[:], mi_im[:], ba_re, ba_im)
-    gs_re, gs_im = _cmm(jnp.swapaxes(g_re[:], 1, 2),
-                        -jnp.swapaxes(g_im[:], 1, 2), sig_re, sig_im)
-    amp_re = ma_re - gs_re + a0_re[:]
-    amp_im = ma_im - gs_im + a0_im[:]
-    amp_re_o[:] = amp_re
-    amp_im_o[:] = amp_im
+    ma_re, ma_im = _cmm(mir, mii, ba_re, ba_im)
+    gs_re, gs_im = _cmm(jnp.swapaxes(gr, 1, 2),
+                        -jnp.swapaxes(gi, 1, 2), sig_re, sig_im)
+    amp_re = ma_re - gs_re + a0r
+    amp_im = ma_im - gs_im + a0i
 
     # --- 6. residual diagnostics -----------------------------------------
     fa_re, fa_im = _cmm(fgr, fgi, amp_re, amp_im)
-    res_re = dw_re[:] - sig_re - fa_re
-    res_im = dw_im[:] - sig_im - fa_im
+    res_re = dwr - sig_re - fa_re
+    res_im = dwi - sig_im - fa_im
     res2 = res_re * res_re + res_im * res_im
-    ninvf = ninvf_ref[:][:, :, None]
-    chi_o[:] = res2 * ninvf
-    wv = w_ref[:]
-    noise_o[:] = jnp.sum(res2 * (wv[:, :, None] * ninvf), axis=2)
+    ninvf = ninvf[:, :, None]
+    chi = res2 * ninvf
+    noise_nu = jnp.sum(res2 * (wv[:, :, None] * ninvf), axis=2)
     if all_unflagged:
-        bmask_o[:] = beta_o[:]
+        bmask = beta
     else:
         ws_re = wv[:, :, None] * sig_re
         ws_im = wv[:, :, None] * sig_im
         skm_re, skm_im = _cmm(fr, fi, ws_re, ws_im)
-        bmask_o[:] = jnp.sum(skm_re * skm_re + skm_im * skm_im, axis=2)
+        bmask = jnp.sum(skm_re * skm_re + skm_im * skm_im, axis=2)
+    return (sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask)
+
+
+def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
+                 all_unflagged: bool, inkernel_rng: bool, *refs):
+    if inkernel_rng:
+        (pt_re, pt_im, ps_ref, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im, seed_ref,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, beta_o, noise_o, bmask_o,
+         e_s, w_s, inv_s, x_s) = refs
+    else:
+        (pt_re, pt_im, ps_ref, nih_ref,
+         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+         a0_re, a0_im, f_re, f_im,
+         oa_re, oa_im, ob_re, ob_im,
+         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, beta_o, noise_o, bmask_o,
+         e_s, w_s, inv_s, x_s) = refs
+    bt, n, _ = pt_re.shape
+    t = nid_re.shape[2]
+    fdt = pt_re.dtype
+
+    if inkernel_rng:
+        # core PRNG: one stream per (iteration seed, grid step)
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        half = jnp.asarray(np.sqrt(0.5), fdt)
+        obr, obi = _normal_pairs((bt, n, t), fdt)
+        obr = obr * half
+        obi = obi * half
+        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
+        oar, oai = _normal_pairs((bt, n, t), fdt)
+        oar = oar * sa
+        oai = oai * sa
+    else:
+        oar = oa_re[:]
+        oai = oa_im[:]
+        obr = ob_re[:]
+        obi = ob_im[:]
+
+    fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
+    fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
+    (sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask) = _draw_body(
+        nfreqs_true, ntimes_true, refine, all_unflagged,
+        pt_re[:], pt_im[:], ps_ref[:], nih_ref[:],
+        nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
+        fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
+        a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
+        e_s, w_s, inv_s, x_s,
+    )
+    sig_re_o[:] = sig_re
+    sig_im_o[:] = sig_im
+    amp_re_o[:] = amp_re
+    amp_im_o[:] = amp_im
+    chi_o[:] = chi
+    beta_o[:] = beta
+    noise_o[:] = noise_nu
+    bmask_o[:] = bmask
 
 
 @functools.partial(

@@ -96,7 +96,7 @@ def chain_case(k_inner, with_mm=True, bt=8):
             acc[:] = x * jnp.asarray(1e-3, jnp.float32)
         else:
             acc[:] = acc[:] * jnp.asarray(0.99, jnp.float32)
-        o_ref[:] = jnp.sum(acc[:, :, :128], axis=1)
+        o_ref[0] = jnp.sum(acc[:, :, :128], axis=1)
 
     @jax.jit
     def call(e, s):
