@@ -72,6 +72,7 @@ def run_chunk_megachain(
     refine: int = 1,
     batch_tile: int = 8,
     store_cr: bool = True,
+    inv_passes: int = 3,
 ):
     """One kernel invocation of ``k_total`` iterations. ``randomness``
     (CPU tests): dict with oa/ob pairs (K, B, n, t), gam (K, B, n),
@@ -83,7 +84,7 @@ def run_chunk_megachain(
         k_total=k_total, alpha_int=dims.ntimes - 1,
         prior_static=tuple(prior_static), batch_tile=batch_tile,
         refine=refine, all_unflagged=dims.all_unflagged,
-        inkernel_rng=inkernel,
+        inkernel_rng=inkernel, inv_passes=inv_passes,
     )
     if inkernel:
         rng_args = dict(seed=seed)
@@ -138,6 +139,7 @@ def run_chain_megachain(
     refine: int = 1,
     batch_tile: int = 8,
     chunk: Optional[int] = None,
+    inv_passes: int = 3,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
     min(niter, 100)); randomness from the in-kernel PRNG seeded off
@@ -157,7 +159,7 @@ def run_chain_megachain(
         ps, sample = run_chunk_megachain(
             mops, tables, dims, ps, k_total, prior_static,
             seed=seed, refine=refine, batch_tile=batch_tile,
-            store_cr=store_cr,
+            store_cr=store_cr, inv_passes=inv_passes,
         )
         pieces.append(sample)
         it += k_total

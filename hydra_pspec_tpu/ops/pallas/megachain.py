@@ -146,7 +146,8 @@ def _sample_bandpowers_body(beta, g, u_pb, prior_static, tlog, qrow):
 
 def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       all_unflagged: bool, inkernel_rng: bool,
-                      k_total: int, alpha_int: int, prior_static, *refs):
+                      k_total: int, alpha_int: int, prior_static,
+                      inv_passes: int, *refs):
     if inkernel_rng:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -201,7 +202,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
         fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
         a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
-        e_s, w_s, inv_s, x_s,
+        e_s, w_s, inv_s, x_s, inv_passes=inv_passes,
     )
 
     # --- bandpower conditional, in-kernel --------------------------------
@@ -238,7 +239,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     jax.jit,
     static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
                      "prior_static", "batch_tile", "refine",
-                     "all_unflagged", "inkernel_rng"),
+                     "all_unflagged", "inkernel_rng", "inv_passes"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -248,7 +249,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   *, nfreqs_true: int, ntimes_true: int, k_total: int,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
-                  inkernel_rng: bool = True):
+                  inkernel_rng: bool = True, inv_passes: int = 3):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
 
     Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
@@ -355,7 +356,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     outs = pl.pallas_call(
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
-                          alpha_int, tuple(prior_static)),
+                          alpha_int, tuple(prior_static), inv_passes),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .spd_solve import _bmm, _pad_to
-from .spd_inv import _spd_inv_into
+from .spd_inv import _spd_inv_into, _bmm1
 
 
 def _cmm(ar, ai, br, bi):
@@ -81,7 +81,8 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
                all_unflagged: bool,
                ptr, pti, ps, nih, nidr, nidi, dwr, dwi, ninvf, wv,
                fgr, fgi, gr, gi, mir, mii, a0r, a0i, fr, fi,
-               oar, oai, obr, obi, e_s, w_s, inv_s, x_s):
+               oar, oai, obr, obi, e_s, w_s, inv_s, x_s,
+               inv_passes: int = 3):
     """Phases 1-6 of one GCR draw + statistics on loaded VMEM values.
 
     All operands are values (already read from refs); ``e_s/w_s/inv_s/x_s``
@@ -136,7 +137,8 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
     x_s[:, n:, :] = dvc * bu_im
 
     w_s[:] = e_s[:]
-    _spd_inv_into(w_s, inv_s, 0, 2 * n)
+    _spd_inv_into(w_s, inv_s, 0, 2 * n,
+                  mm=(_bmm if inv_passes == 3 else _bmm1))
     x = _bmm(inv_s[:], x_s[:])
     for _ in range(refine):
         r = x_s[:] - _bmm(e_s[:], x)
@@ -176,7 +178,8 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
 
 
 def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
-                 all_unflagged: bool, inkernel_rng: bool, *refs):
+                 all_unflagged: bool, inkernel_rng: bool, inv_passes: int,
+                 *refs):
     if inkernel_rng:
         (pt_re, pt_im, ps_ref, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -223,7 +226,7 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
         fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
         a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
-        e_s, w_s, inv_s, x_s,
+        e_s, w_s, inv_s, x_s, inv_passes=inv_passes,
     )
     sig_re_o[:] = sig_re
     sig_im_o[:] = sig_im
@@ -238,7 +241,7 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
 @functools.partial(
     jax.jit,
     static_argnames=("nfreqs_true", "ntimes_true", "batch_tile", "refine",
-                     "all_unflagged", "inkernel_rng"),
+                     "all_unflagged", "inkernel_rng", "inv_passes"),
 )
 def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
                  ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -246,7 +249,7 @@ def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
                  ob_re=None, ob_im=None, seed=None,
                  *, nfreqs_true: int, ntimes_true: int, batch_tile: int = 8,
                  refine: int = 1, all_unflagged: bool = True,
-                 inkernel_rng: bool = False):
+                 inkernel_rng: bool = False, inv_passes: int = 3):
     """One fused GCR draw + statistics for the whole batch.
 
     All array arguments are already padded/transposed by
@@ -327,7 +330,7 @@ def gcr_megastep(pt_re, pt_im, ps, nih, nid_re, nid_im, dw_re, dw_im,
     n2 = 2 * n
     outs = pl.pallas_call(
         functools.partial(_mega_kernel, nfreqs_true, ntimes_true, refine,
-                          all_unflagged, inkernel_rng),
+                          all_unflagged, inkernel_rng, inv_passes),
         # CPU (tests, CPU CLI runs): interpreter instead of Mosaic
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,

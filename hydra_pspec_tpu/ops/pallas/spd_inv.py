@@ -42,11 +42,25 @@ NBASE = 32
 assert NBASE == _NB_V1  # _chol_block/_inv_lower_block are NB=32-shaped
 
 
-def _spd_inv_into(w_ref, inv_ref, off: int, s: int):
+def _bmm1(a, b):
+    """Single-pass batched matmul (operands rounded to bf16 by the
+    backend's DEFAULT matmul). ~3x fewer MXU passes than the exact 3-pass
+    split — accurate to ~1e-2 relative, which is enough when the result is
+    only used as a PRECONDITIONER whose error is removed by full-precision
+    iterative refinement."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _spd_inv_into(w_ref, inv_ref, off: int, s: int, mm=_bmm):
     """Invert the SPD block w_ref[:, off:off+s, off:off+s] into the same
     slot of inv_ref (full symmetric inverse, both triangles). The w block
     is consumed as workspace. All offsets are Python ints (unrolled), so
-    every slice is static.
+    every slice is static. ``mm``: the batched matmul to build with —
+    ``_bmm`` (exact 3-pass) or ``_bmm1`` (1-pass bf16 preconditioner
+    quality; pair with refinement).
 
         A = [[A11, A12], [A12^T, A22]],  S = A22 - A12^T A11^-1 A12
         A^-1 = [[A11^-1 + T S^-1 T^T, -T S^-1],
@@ -56,26 +70,26 @@ def _spd_inv_into(w_ref, inv_ref, off: int, s: int):
         a = w_ref[:, off:off + s, off:off + s]
         l = _chol_block(a)
         il = _inv_lower_block(l)
-        inv_ref[:, off:off + s, off:off + s] = _bmm(
+        inv_ref[:, off:off + s, off:off + s] = mm(
             jnp.swapaxes(il, 1, 2), il
         )
         return
     h = s // 2
     o2 = off + h
     oe = off + s
-    _spd_inv_into(w_ref, inv_ref, off, h)
+    _spd_inv_into(w_ref, inv_ref, off, h, mm)
     a11i = inv_ref[:, off:o2, off:o2]
     a12 = w_ref[:, off:o2, o2:oe]
-    t = _bmm(a11i, a12)
-    w_ref[:, o2:oe, o2:oe] = w_ref[:, o2:oe, o2:oe] - _bmm(
+    t = mm(a11i, a12)
+    w_ref[:, o2:oe, o2:oe] = w_ref[:, o2:oe, o2:oe] - mm(
         jnp.swapaxes(a12, 1, 2), t
     )
     w_ref[:, off:o2, o2:oe] = t  # park T where A12 (now dead) lived
-    _spd_inv_into(w_ref, inv_ref, o2, h)
+    _spd_inv_into(w_ref, inv_ref, o2, h, mm)
     sinv = inv_ref[:, o2:oe, o2:oe]
     t = w_ref[:, off:o2, o2:oe]
-    ts = _bmm(t, sinv)
-    inv_ref[:, off:o2, off:o2] = inv_ref[:, off:o2, off:o2] + _bmm(
+    ts = mm(t, sinv)
+    inv_ref[:, off:o2, off:o2] = inv_ref[:, off:o2, off:o2] + mm(
         ts, jnp.swapaxes(t, 1, 2)
     )
     inv_ref[:, off:o2, o2:oe] = -ts
