@@ -27,7 +27,10 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 N_BASELINES = int(os.environ.get("BENCH_BASELINES", "100"))
-N_ITER = int(os.environ.get("BENCH_ITERS", "20"))
+# Timed chain length: long enough that the fixed ~25-30 ms axon dispatch
+# round-trip is amortized to noise (real runs are Niter=1000; measuring
+# steady-state throughput, not launch latency).
+N_ITER = int(os.environ.get("BENCH_ITERS", "100"))
 N_REPS = int(os.environ.get("BENCH_REPS", "5"))  # timed repetitions (median)
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 

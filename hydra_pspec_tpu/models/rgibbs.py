@@ -257,6 +257,13 @@ def _solve(m: C, b: C, jitter: float, solver: str) -> C:
         from ..ops.pallas import spd_inv
 
         return spd_inv.hermitian_solve_pallas2(m, b, jitter=jitter)
+    if solver == "pallas2f":
+        # fast variant: 1-pass bf16 inverse build (preconditioner quality),
+        # accuracy recovered by the full-precision refinement step
+        from ..ops.pallas import spd_inv
+
+        return spd_inv.hermitian_solve_pallas2(m, b, jitter=jitter,
+                                               inv_passes=1, refine=2)
     if solver == "identity":  # profiling only: skip the solve entirely
         return b
     raise ValueError(f"unknown solver {solver!r}")

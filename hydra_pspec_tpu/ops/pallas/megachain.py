@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .megastep import _draw_body, _normal_pairs, bits_to_normals
+from .megastep import _draw_body, _normal_pairs_t, bits_to_normals
 from .spd_solve import _bmm
 
 
@@ -181,11 +181,11 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     if inkernel_rng:
         pltpu.prng_seed(seed_ref[0, 0] + i * k_total + k)
         half = jnp.asarray(np.sqrt(0.5), fdt)
-        obr, obi = _normal_pairs((bt, n, t), fdt)
+        obr, obi = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         obr = obr * half
         obi = obi * half
         sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        oar, oai = _normal_pairs((bt, n, t), fdt)
+        oar, oai = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         oar = oar * sa
         oai = oai * sa
     else:

@@ -77,6 +77,21 @@ def _normal_pairs(shape, dtype):
     return bits_to_normals(bits1, bits2, dtype)
 
 
+def _normal_pairs_t(bt, n, t, ntimes_true, dtype):
+    """Normal pair of logical shape (bt, n, t) where only the first
+    ``ntimes_true`` time lanes carry fluctuation draws (the rest are
+    masked downstream anyway). The draw — and with it the Box-Muller
+    transcendental volume, the dominant in-kernel RNG cost — happens at
+    the 128-lane-rounded true time count; the tail is zero-filled."""
+    td = min(t, -(-ntimes_true // 128) * 128)
+    a, b = _normal_pairs((bt, n, td), dtype)
+    if td < t:
+        z = jnp.zeros((bt, n, t - td), dtype)
+        a = jnp.concatenate([a, z], axis=2)
+        b = jnp.concatenate([b, z], axis=2)
+    return a, b
+
+
 def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
                all_unflagged: bool,
                ptr, pti, ps, nih, nidr, nidi, dwr, dwi, ninvf, wv,
@@ -205,11 +220,11 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         # core PRNG: one stream per (iteration seed, grid step)
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         half = jnp.asarray(np.sqrt(0.5), fdt)
-        obr, obi = _normal_pairs((bt, n, t), fdt)
+        obr, obi = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         obr = obr * half
         obi = obi * half
         sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        oar, oai = _normal_pairs((bt, n, t), fdt)
+        oar, oai = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         oar = oar * sa
         oai = oai * sa
     else:

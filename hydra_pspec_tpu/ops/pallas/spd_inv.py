@@ -96,12 +96,14 @@ def _spd_inv_into(w_ref, inv_ref, off: int, s: int, mm=_bmm):
     inv_ref[:, o2:oe, off:o2] = -jnp.swapaxes(ts, 1, 2)
 
 
-def _spd_inv_kernel(refine: int, e_ref, b_ref, x_ref, w_ref, inv_ref):
+def _spd_inv_kernel(refine: int, inv_passes: int, e_ref, b_ref, x_ref,
+                    w_ref, inv_ref):
     """Refs: e (bt,N,N) in (preserved — needed for refinement),
     b (bt,N,K) in, x (bt,N,K) out, scratch w + inv (bt,N,N)."""
     n = e_ref.shape[1]
     w_ref[:] = e_ref[:]
-    _spd_inv_into(w_ref, inv_ref, 0, n)
+    _spd_inv_into(w_ref, inv_ref, 0, n,
+                  mm=(_bmm if inv_passes == 3 else _bmm1))
     x = _bmm(inv_ref[:], b_ref[:])
     for _ in range(refine):
         r = b_ref[:] - _bmm(e_ref[:], x)
@@ -109,8 +111,10 @@ def _spd_inv_kernel(refine: int, e_ref, b_ref, x_ref, w_ref, inv_ref):
     x_ref[:] = x
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "refine"))
-def spd_inv_solve(e, b, batch_tile: int = 8, refine: int = 1):
+@functools.partial(jax.jit,
+                   static_argnames=("batch_tile", "refine", "inv_passes"))
+def spd_inv_solve(e, b, batch_tile: int = 8, refine: int = 1,
+                  inv_passes: int = 3):
     """Solve ``e[i] @ x[i] = b[i]`` for a batch of SPD matrices via the
     recursive-inverse kernel. Same contract as spd_solve.spd_factor_solve:
     e (B, N, N) f32, b (B, N, K) f32; N, K padded to 128 internally with an
@@ -140,7 +144,7 @@ def spd_inv_solve(e, b, batch_tile: int = 8, refine: int = 1):
 
     grid = (bp // batch_tile,)
     x = pl.pallas_call(
-        functools.partial(_spd_inv_kernel, refine),
+        functools.partial(_spd_inv_kernel, refine, inv_passes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((batch_tile, n, n), lambda i: (i, 0, 0),
@@ -163,7 +167,8 @@ def spd_inv_solve(e, b, batch_tile: int = 8, refine: int = 1):
 
 
 def hermitian_solve_pallas2(m: C, b: C, jitter: float = 0.0,
-                            batch_tile: int = 8, refine: int = 1) -> C:
+                            batch_tile: int = 8, refine: int = 1,
+                            inv_passes: int = 3) -> C:
     """Drop-in for cplx.hermitian_solve via the v2 recursive-inverse kernel
     on the Jacobi-equilibrated real symmetric embedding."""
     from ..cplx import embed_hermitian, embed_rhs, unembed_solution
@@ -183,7 +188,8 @@ def hermitian_solve_pallas2(m: C, b: C, jitter: float = 0.0,
     n2 = e.shape[-1]
     k = rhs.shape[-1]
     x = spd_inv_solve(e.reshape((-1, n2, n2)), rhs.reshape((-1, n2, k)),
-                      batch_tile=batch_tile, refine=refine)
+                      batch_tile=batch_tile, refine=refine,
+                      inv_passes=inv_passes)
     x = x.reshape(batch_shape + (n2, k))
     xs = unembed_solution(x)
     return C(xs.re * dinv[..., :, None], xs.im * dinv[..., :, None])

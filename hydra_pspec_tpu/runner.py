@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models import gcr, gibbs, mega, rgibbs
+from .models import gcr, gibbs, mega, megachain, rgibbs
 from .ops import cplx
 from .parallel import mesh as pmesh
 from .parallel import partition as ppart
@@ -67,6 +67,7 @@ class RunResult:
 _SHARED_FIELDS = {
     "real": ("f", "igt"),
     "mega": ("f_re", "f_im", "igt"),
+    "megachain": ("f_re", "f_im", "igt"),
     "complex": ("fourier_op",),
 }
 
@@ -144,15 +145,28 @@ def run_baselines(
         niter = 1
         write_niter = 1
     engine = select_engine(engine)
-    if engine == "mega" and (
+    if engine == "megachain":
+        # max-throughput single-host engine: K iterations per Pallas
+        # program with per-grid-step PRNG streams. Paths that need
+        # batch-composition-invariant streams (multi-process, mesh
+        # sharding) or features outside the kernel fall back to mega.
+        n_prior_bins = int(
+            np.count_nonzero(np.any(np.asarray(ps_prior) > 0, axis=0)))
+        if (map_estimate or num_processes > 1
+                or (use_mesh and len(jax.devices()) > 1)
+                or n_prior_bins > 8
+                or jobs[0].d.shape[0] > 1025
+                or any(j.flags_tf is not None for j in jobs)):
+            engine = "mega"
+    if engine in ("mega", "megachain") and (
         map_estimate
         or any(np.ndim(j.Ninv) == 2
                and np.abs(np.asarray(j.Ninv)
                           - np.diag(np.diag(np.asarray(j.Ninv)))).max() > 0
                for j in jobs)
     ):
-        # the mega kernel covers the production sampling path; MAP mode and
-        # dense noise run through the general real-pair engine
+        # the mega kernels cover the production sampling path; MAP mode
+        # and dense noise run through the general real-pair engine
         engine = "real"
     if any(j.flags_tf is not None for j in jobs):
         return _run_baselines_tflags(
@@ -177,8 +191,9 @@ def run_baselines(
     ps0_list = [
         _initial_ps_host(job.S_initial, nfreqs) for job in jobs
     ]
+    prior_host = np.asarray(ps_prior, dtype=np.float64)
     mega_dims = None
-    if engine == "mega":
+    if engine in ("mega", "megachain"):
         ops_list = [
             rgibbs.build_chain_operators(job.d, job.w, job.fgmodes, job.Ninv)
             for job in jobs
@@ -295,7 +310,15 @@ def run_baselines(
     t_scatter = time.perf_counter() - t_scatter0
 
     # --- per-chunk step functions ---------------------------------------
-    if engine == "mega":
+    if engine == "megachain":
+        def run_chunk(chunk_key_base, ps, n):
+            return megachain.run_chain_megachain(
+                chunk_key_base, ops_b, mega_dims, ps, prior_host, n,
+                store_cr=store_cr, chunk=n,
+            )
+        # outputs: (niter, B, ...) — scan-major
+        batch_axis = 1
+    elif engine == "mega":
         def run_chunk(chunk_key_base, ps, n):
             return mega.run_chain_mega_jit(
                 chunk_key_base, ops_b, mega_dims, ps, prior, n,
@@ -354,7 +377,7 @@ def run_baselines(
             if prefix is not None:
                 start_iter = ck["iteration"]
                 ckps = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
-                if engine == "mega":
+                if engine in ("mega", "megachain"):
                     ckps = mega.pad_ps(ckps, mega_dims)
                 npad = ps_b.shape[0] - n_real
                 if npad:
@@ -388,7 +411,7 @@ def run_baselines(
     done = start_iter
     while done < niter:
         n = min(write_niter, niter - done)
-        if engine in ("real", "mega"):
+        if engine in ("real", "mega", "megachain"):
             chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
             ps_b, samples = run_chunk(chunk_key, ps_b, n)
         else:
@@ -482,7 +505,7 @@ def _host(a, batch_axis):
 
 def _to_host(samples, engine, store_cr, batch_axis, n_real):
     h = lambda a: _host(a, batch_axis)
-    if engine in ("real", "mega"):
+    if engine in ("real", "mega", "megachain"):
         cr = (h(samples.signal_cr.re) + 1j * h(samples.signal_cr.im)
               if store_cr else None)
         fga = (h(samples.fg_amps.re) + 1j * h(samples.fg_amps.im)

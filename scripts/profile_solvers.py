@@ -60,6 +60,9 @@ def scan_wrap(solver):
 CASES = {
     "v2r1": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1),
     "v2r0": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=0),
+    # 1-pass bf16 inverse build + full-precision refinement
+    "v2f1": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=1, inv_passes=1),
+    "v2f2": lambda e, b: spd_inv.spd_inv_solve(e, b, refine=2, inv_passes=1),
     "v1": lambda e, b: spd_solve.spd_factor_solve(e, b),
     "v2bt16": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=16, refine=1),
     "v2bt4": lambda e, b: spd_inv.spd_inv_solve(e, b, batch_tile=4, refine=1),

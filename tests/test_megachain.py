@@ -135,6 +135,37 @@ def test_megachain_matches_composed():
         np.asarray(sample.ln_post[-1]), np.asarray(lp_ref), rtol=2e-3)
 
 
+def test_runner_megachain_engine(tmp_path):
+    """run_baselines with engine=megachain writes reference-layout outputs.
+    NOTE: interpret mode stubs the core PRNG (constant bits), so only
+    shapes/finiteness are checked here; statistics are validated on device
+    and via the external-randomness tests above."""
+    from hydra_pspec_tpu.runner import BaselineJob, run_baselines
+
+    ntimes, nfreqs, nmodes = 12, 16, 2
+    d = crandn(ntimes, nfreqs) * 2.0
+    w = np.ones(nfreqs)
+    fg = crandn(nfreqs, nmodes)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    job = BaselineJob(
+        antpair=(0, 1), d=d, w=w, fgmodes=fg,
+        S_initial=np.eye(nfreqs), Ninv=ninv, out_dir=tmp_path / "0-1",
+    )
+    niter = 4
+    results, timings = run_baselines(
+        [job], np.zeros((2, nfreqs)), niter, seed=3, write_niter=2,
+        engine="megachain", use_mesh=False,
+    )
+    assert timings["engine"] == "megachain"
+    r = results[0]
+    assert r.signal_ps.shape == (niter, nfreqs)
+    assert r.signal_cr.shape == (niter, ntimes, nfreqs)
+    assert r.chisq.shape == (niter, ntimes, nfreqs)
+    assert np.isfinite(r.signal_ps).all()
+    dps = np.load(tmp_path / "0-1" / "dps-eor.npy")
+    assert dps.shape == (niter, nfreqs)
+
+
 def test_megachain_chunked_driver_statistics():
     """Full driver path with external-style statistics: run a chain on
     self-consistent data through run_chunk_megachain and check chi^2."""
