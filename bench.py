@@ -137,12 +137,13 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
             jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n)), dims)
         refine = int(os.environ.get("BENCH_REFINE", "1"))
         bt = int(os.environ.get("BENCH_BT", "8"))
+        warm_ns = int(os.environ.get("BENCH_WARM_NS", "0"))
 
         def once(rep, it):
             ps_f, samples = megachain.run_chain_megachain(
                 jax.random.fold_in(jax.random.key(0), rep), mops_b, dims,
                 ps_b, prior, it, store_cr=True, refine=refine,
-                batch_tile=bt, chunk=it,
+                batch_tile=bt, chunk=it, warm_ns=warm_ns,
             )
             chi = float(jnp.mean(samples.chisq[-5:]))
             lnp = float(jnp.sum(samples.ln_post))

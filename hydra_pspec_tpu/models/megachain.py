@@ -73,10 +73,15 @@ def run_chunk_megachain(
     batch_tile: int = 8,
     store_cr: bool = True,
     inv_passes: int = 3,
+    warm_ns: int = 0,
+    drift_max: float = 0.25,
 ):
     """One kernel invocation of ``k_total`` iterations. ``randomness``
     (CPU tests): dict with oa/ob pairs (K, B, n, t), gam (K, B, n),
     u_pb (K, B, 128); otherwise ``seed`` drives the in-kernel PRNG.
+    ``warm_ns > 0``: carry the system inverse across iterations in VMEM
+    and refresh it with that many Newton-Schulz steps instead of a full
+    rebuild when the relative bandpower move stays under ``drift_max``.
     Returns (ps_pad_final, RGibbsSample stacked over K)."""
     inkernel = randomness is None
     kwargs = dict(
@@ -85,6 +90,7 @@ def run_chunk_megachain(
         prior_static=tuple(prior_static), batch_tile=batch_tile,
         refine=refine, all_unflagged=dims.all_unflagged,
         inkernel_rng=inkernel, inv_passes=inv_passes,
+        warm_ns=warm_ns, drift_max=drift_max,
     )
     if inkernel:
         rng_args = dict(seed=seed)
@@ -140,6 +146,8 @@ def run_chain_megachain(
     batch_tile: int = 8,
     chunk: Optional[int] = None,
     inv_passes: int = 3,
+    warm_ns: int = 0,
+    drift_max: float = 0.25,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
     min(niter, 100)); randomness from the in-kernel PRNG seeded off
@@ -160,6 +168,7 @@ def run_chain_megachain(
             mops, tables, dims, ps, k_total, prior_static,
             seed=seed, refine=refine, batch_tile=batch_tile,
             store_cr=store_cr, inv_passes=inv_passes,
+            warm_ns=warm_ns, drift_max=drift_max,
         )
         pieces.append(sample)
         it += k_total

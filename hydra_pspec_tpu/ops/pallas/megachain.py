@@ -40,7 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .megastep import _draw_body, _normal_pairs_t, bits_to_normals
+from .megastep import _draw_body, _eye, _normal_quad_t, bits_to_normals
+from .spd_inv import _bmm1, _spd_inv_into
 from .spd_solve import _bmm
 
 
@@ -147,7 +148,8 @@ def _sample_bandpowers_body(beta, g, u_pb, prior_static, tlog, qrow):
 def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       all_unflagged: bool, inkernel_rng: bool,
                       k_total: int, alpha_int: int, prior_static,
-                      inv_passes: int, *refs):
+                      inv_passes: int, warm_ns: int, drift_max: float,
+                      *refs):
     if inkernel_rng:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -155,7 +157,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
          a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref, seed_ref,
          sig_re_o, sig_im_o, amp_re_o, amp_im_o,
          chi_o, ps_o, noise_o, bmask_o, psf_o,
-         e_s, w_s, inv_s, x_s, ps_s) = refs
+         e_s, w_s, inv_s, x_s, ps_s, psx_s) = refs
     else:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -164,7 +166,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
          oa_re, oa_im, ob_re, ob_im, gam_ref, u_ref,
          sig_re_o, sig_im_o, amp_re_o, amp_im_o,
          chi_o, ps_o, noise_o, bmask_o, psf_o,
-         e_s, w_s, inv_s, x_s, ps_s) = refs
+         e_s, w_s, inv_s, x_s, ps_s, psx_s) = refs
     bt, n, _ = pt_re.shape
     t = nid_re.shape[2]
     fdt = pt_re.dtype
@@ -181,11 +183,10 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     if inkernel_rng:
         pltpu.prng_seed(seed_ref[0, 0] + i * k_total + k)
         half = jnp.asarray(np.sqrt(0.5), fdt)
-        obr, obi = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
+        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
+        obr, obi, oar, oai = _normal_quad_t(bt, n, t, ntimes_true, fdt)
         obr = obr * half
         obi = obi * half
-        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        oar, oai = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         oar = oar * sa
         oai = oai * sa
     else:
@@ -196,13 +197,50 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
 
     fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
     fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
+
+    build_inv = None
+    if warm_ns > 0:
+        n2 = 2 * n
+
+        def build_inv():
+            # Drift-gated Newton-Schulz warm start: between Gibbs
+            # iterations the system changes only through D(ps), so the
+            # VMEM-carried inverse of the previous iteration is a
+            # quadratically-converging starting point — ``warm_ns``
+            # X <- X(2I - EX) steps (1-pass bf16; NS is self-correcting
+            # and the solve is refined afterwards) replace the full
+            # recursive rebuild unless the relative bandpower move
+            # exceeds ``drift_max`` (or this is the tile's first step).
+            psx = psx_s[:]
+            rel = jnp.abs(ps - psx) / (
+                0.5 * (jnp.abs(ps) + jnp.abs(psx))
+                + 1e-6 * jnp.max(psx, axis=1, keepdims=True)
+                + jnp.finfo(fdt).tiny)
+            drift = jnp.max(rel)
+            rebuild = jnp.logical_or(k == 0, drift > drift_max)
+
+            @pl.when(rebuild)
+            def _():
+                w_s[:] = e_s[:]
+                _spd_inv_into(w_s, inv_s, 0, n2,
+                              mm=(_bmm if inv_passes == 3 else _bmm1))
+
+            @pl.when(jnp.logical_not(rebuild))
+            def _():
+                two_eye = 2.0 * _eye(n2, fdt)[None]
+                for _ in range(warm_ns):
+                    ex = _bmm1(e_s[:], inv_s[:])
+                    inv_s[:] = _bmm1(inv_s[:], two_eye - ex)
+
+            psx_s[:] = ps
+
     (sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask) = _draw_body(
         nfreqs_true, ntimes_true, refine, all_unflagged,
         pt_re[:], pt_im[:], ps, nih_ref[:],
         nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
         fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
         a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
-        e_s, w_s, inv_s, x_s, inv_passes=inv_passes,
+        e_s, w_s, inv_s, x_s, inv_passes=inv_passes, build_inv=build_inv,
     )
 
     # --- bandpower conditional, in-kernel --------------------------------
@@ -239,7 +277,8 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     jax.jit,
     static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
                      "prior_static", "batch_tile", "refine",
-                     "all_unflagged", "inkernel_rng", "inv_passes"),
+                     "all_unflagged", "inkernel_rng", "inv_passes",
+                     "warm_ns", "drift_max"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -249,7 +288,8 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   *, nfreqs_true: int, ntimes_true: int, k_total: int,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
-                  inkernel_rng: bool = True, inv_passes: int = 3):
+                  inkernel_rng: bool = True, inv_passes: int = 3,
+                  warm_ns: int = 0, drift_max: float = 0.25):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
 
     Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
@@ -356,7 +396,8 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     outs = pl.pallas_call(
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
-                          alpha_int, tuple(prior_static), inv_passes),
+                          alpha_int, tuple(prior_static), inv_passes,
+                          warm_ns, drift_max),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,
@@ -368,6 +409,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
             pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # inverse
             pltpu.VMEM((batch_tile, n2, t), jnp.float32),   # embedded RHS
             pltpu.VMEM((batch_tile, n), jnp.float32),       # ps state
+            pltpu.VMEM((batch_tile, n), jnp.float32),       # ps of carried inv
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

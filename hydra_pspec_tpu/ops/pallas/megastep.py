@@ -92,12 +92,22 @@ def _normal_pairs_t(bt, n, t, ntimes_true, dtype):
     return a, b
 
 
+def _normal_quad_t(bt, n, t, ntimes_true, dtype):
+    """Four (bt, n, t) normal tensors valid on the first ``ntimes_true``
+    time lanes. (A lane-packed variant deriving all four from one
+    Box-Muller pair via pltpu.roll was measured ~4 ms/iter SLOWER on
+    hardware — Mosaic lowers the 64-lane rotate pathologically — so this
+    is two independent pair draws at the 128-lane-rounded time count.)"""
+    return (*_normal_pairs_t(bt, n, t, ntimes_true, dtype),
+            *_normal_pairs_t(bt, n, t, ntimes_true, dtype))
+
+
 def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
                all_unflagged: bool,
                ptr, pti, ps, nih, nidr, nidi, dwr, dwi, ninvf, wv,
                fgr, fgi, gr, gi, mir, mii, a0r, a0i, fr, fi,
                oar, oai, obr, obi, e_s, w_s, inv_s, x_s,
-               inv_passes: int = 3):
+               inv_passes: int = 3, build_inv=None):
     """Phases 1-6 of one GCR draw + statistics on loaded VMEM values.
 
     All operands are values (already read from refs); ``e_s/w_s/inv_s/x_s``
@@ -151,9 +161,14 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
     x_s[:, :n, :] = dvc * bu_re
     x_s[:, n:, :] = dvc * bu_im
 
-    w_s[:] = e_s[:]
-    _spd_inv_into(w_s, inv_s, 0, 2 * n,
-                  mm=(_bmm if inv_passes == 3 else _bmm1))
+    if build_inv is None:
+        w_s[:] = e_s[:]
+        _spd_inv_into(w_s, inv_s, 0, 2 * n,
+                      mm=(_bmm if inv_passes == 3 else _bmm1))
+    else:
+        # caller-supplied policy (e.g. megachain's drift-gated
+        # Newton-Schulz warm start over the VMEM-carried inverse)
+        build_inv()
     x = _bmm(inv_s[:], x_s[:])
     for _ in range(refine):
         r = x_s[:] - _bmm(e_s[:], x)
@@ -220,11 +235,10 @@ def _mega_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         # core PRNG: one stream per (iteration seed, grid step)
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         half = jnp.asarray(np.sqrt(0.5), fdt)
-        obr, obi = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
+        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
+        obr, obi, oar, oai = _normal_quad_t(bt, n, t, ntimes_true, fdt)
         obr = obr * half
         obi = obi * half
-        sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        oar, oai = _normal_pairs_t(bt, n, t, ntimes_true, fdt)
         oar = oar * sa
         oai = oai * sa
     else:

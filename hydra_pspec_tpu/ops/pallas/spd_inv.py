@@ -68,7 +68,10 @@ def _spd_inv_into(w_ref, inv_ref, off: int, s: int, mm=_bmm):
     """
     if s == NBASE:
         a = w_ref[:, off:off + s, off:off + s]
-        l = _chol_block(a)
+        # 1-pass bf16 Schur blocks can lose SPD-ness; a relative pivot
+        # floor (diag ~1 after Jacobi equilibration) keeps the build
+        # finite at preconditioner quality instead of NaN-ing the chain
+        l = _chol_block(a, floor=(1e-3 if mm is _bmm1 else None))
         il = _inv_lower_block(l)
         inv_ref[:, off:off + s, off:off + s] = mm(
             jnp.swapaxes(il, 1, 2), il

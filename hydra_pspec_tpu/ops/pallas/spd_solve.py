@@ -76,12 +76,16 @@ def _eye(nb, dtype):
     return (r == c).astype(dtype)
 
 
-def _chol_block(a):
+def _chol_block(a, floor=None):
     """Unrolled Cholesky of (bt, NB, NB) SPD blocks; returns lower L.
     Masks come from in-kernel iota (Pallas kernels cannot capture array
-    constants)."""
+    constants). ``floor``: pivot clamp — pass a finite value (e.g. 1e-3
+    for the unit-diagonal equilibrated system) when the input block may
+    have lost positive-definiteness to low-precision arithmetic (the
+    1-pass bf16 Schur build); the result is then only preconditioner
+    quality but stays finite for iterative refinement to correct."""
     cols = []
-    tiny = jnp.finfo(a.dtype).tiny
+    tiny = floor if floor is not None else jnp.finfo(a.dtype).tiny
     iota = _iota(NB)
     for k in range(NB):
         akk = jnp.sqrt(jnp.maximum(a[:, k, k], tiny))

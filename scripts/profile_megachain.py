@@ -31,12 +31,13 @@ REFINE = int(os.environ.get("PROF_REFINE", "1"))
 BT = int(os.environ.get("PROF_BT", "8"))
 CHUNK = int(os.environ.get("PROF_K", str(NITER)))
 INV_PASSES = int(os.environ.get("PROF_INV_PASSES", "3"))
+WARM_NS = int(os.environ.get("PROF_WARM_NS", "0"))
 
 
 def main():
     print(f"backend={jax.default_backend()} megachain B={B} "
           f"store_cr={STORE_CR} refine={REFINE} bt={BT} chunk={CHUNK} "
-          f"invp={INV_PASSES} x{NITER}", flush=True)
+          f"invp={INV_PASSES} warm={WARM_NS} x{NITER}", flush=True)
     td = Path("/root/reference/test_data")
     from hydra_pspec_tpu.utils.uvh5 import read_uvh5
     bls, _ = read_uvh5(td / "vis-eor-fgs.uvh5")
@@ -63,7 +64,7 @@ def main():
         ps_f, samples = megachain.run_chain_megachain(
             jax.random.fold_in(jax.random.key(0), rep), mops_b, dims, ps_b,
             prior, NITER, store_cr=STORE_CR, refine=REFINE, batch_tile=BT,
-            chunk=CHUNK, inv_passes=INV_PASSES,
+            chunk=CHUNK, inv_passes=INV_PASSES, warm_ns=WARM_NS,
         )
         chi = float(jnp.mean(samples.chisq[-5:]))
         lnp = float(jnp.sum(samples.ln_post))
@@ -78,7 +79,8 @@ def main():
         ts.append(time.perf_counter() - t0)
     ts = np.array(ts)
     print(f"megachain store_cr={STORE_CR} refine={REFINE} bt={BT} "
-          f"chunk={CHUNK} invp={INV_PASSES}: median {np.median(ts)*1e3/NITER:8.3f} ms/iter   "
+          f"chunk={CHUNK} invp={INV_PASSES} warm={WARM_NS}: "
+          f"median {np.median(ts)*1e3/NITER:8.3f} ms/iter   "
           f"min {ts.min()*1e3/NITER:8.3f}", flush=True)
 
 

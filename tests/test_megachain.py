@@ -135,6 +135,36 @@ def test_megachain_matches_composed():
         np.asarray(sample.ln_post[-1]), np.asarray(lp_ref), rtol=2e-3)
 
 
+def test_megachain_warm_ns_matches_exact():
+    """Drift-gated Newton-Schulz warm start (warm_ns=2) vs the full
+    per-iteration rebuild on identical external randomness: the carried
+    inverse refreshed by NS steps must reproduce the exact path to solver
+    tolerance. In interpret mode the 1-pass matmuls are exact f32, so NS
+    reaches the same fixed point; hardware agreement is bounded by the
+    refinement (validated on device via chi^2)."""
+    K, B = 4, 2
+    mops_b, dims, ps0 = make_problem(B=B)
+    ps0_pad = mega.pad_ps(jnp.asarray(ps0, jnp.float32), dims)
+    rnd = draw_randomness(K, B, dims, dims.ntimes - 1)
+    tables = megachain.make_chain_tables(mops_b)
+
+    ps_a, sa = megachain.run_chunk_megachain(
+        mops_b, tables, dims, ps0_pad, K, (),
+        randomness=rnd, refine=2, batch_tile=2, store_cr=True)
+    ps_b, sb = megachain.run_chunk_megachain(
+        mops_b, tables, dims, ps0_pad, K, (),
+        randomness=rnd, refine=2, batch_tile=2, store_cr=True,
+        warm_ns=2, drift_max=10.0)  # force NS on every k > 0 step
+
+    np.testing.assert_allclose(
+        np.asarray(ps_b), np.asarray(ps_a), rtol=5e-4, atol=1e-7)
+    scale = np.abs(np.asarray(sa.signal_cr.re)).mean() + 1e-30
+    assert (np.abs(np.asarray(sb.signal_cr.re)
+                   - np.asarray(sa.signal_cr.re)).max() / scale) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(sb.ln_post), np.asarray(sa.ln_post), rtol=1e-3)
+
+
 def test_runner_megachain_engine(tmp_path):
     """run_baselines with engine=megachain writes reference-layout outputs.
     NOTE: interpret mode stubs the core PRNG (constant bits), so only
