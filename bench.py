@@ -115,7 +115,10 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
 
     d, w, fgmodes, eor_cov, ninv_diag, prior = problem
     solver = os.environ.get("BENCH_SOLVER", "auto")
-    engine = os.environ.get("BENCH_ENGINE", "real")
+    # megachain (K Gibbs iterations per Pallas program, in-kernel bandpower
+    # conditional + PRNG) is the fastest engine: 164.6 iter/s vs 91 for the
+    # single-step real engine at the same workload (measured 2026-08-17).
+    engine = os.environ.get("BENCH_ENGINE", "megachain")
     dtype = jnp.float32
     ops1 = rgibbs.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
     # initial ps from the covariance — host-side numpy (the TPU backend has
@@ -242,7 +245,9 @@ def _supervise():
     """
     import subprocess
 
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    # cold remote Pallas compiles take 10-20 min; the persistent cache at
+    # /root/.jax_cache makes retries (and warmed driver runs) fast
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "1800"))
     for attempt in range(3):
         env = dict(os.environ, BENCH_CHILD="1")
         try:

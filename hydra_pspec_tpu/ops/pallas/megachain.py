@@ -217,7 +217,14 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                 + 1e-6 * jnp.max(psx, axis=1, keepdims=True)
                 + jnp.finfo(fdt).tiny)
             drift = jnp.max(rel)
-            rebuild = jnp.logical_or(k == 0, drift > drift_max)
+            # NaN-safe: warm-start ONLY when the drift is provably small —
+            # a NaN drift (corrupted state) must fall through to the exact
+            # rebuild, so the comparison is phrased as "k > 0 AND drift
+            # small" (NaN <= x is False -> rebuild) rather than
+            # "drift > max -> rebuild" (NaN > x is False -> would keep a
+            # poisoned carried inverse forever).
+            rebuild = jnp.logical_not(
+                jnp.logical_and(k > 0, drift <= drift_max))
 
             @pl.when(rebuild)
             def _():

@@ -32,12 +32,14 @@ BT = int(os.environ.get("PROF_BT", "8"))
 CHUNK = int(os.environ.get("PROF_K", str(NITER)))
 INV_PASSES = int(os.environ.get("PROF_INV_PASSES", "3"))
 WARM_NS = int(os.environ.get("PROF_WARM_NS", "0"))
+DRIFT_MAX = float(os.environ.get("PROF_DRIFT", "0.25"))
 
 
 def main():
     print(f"backend={jax.default_backend()} megachain B={B} "
           f"store_cr={STORE_CR} refine={REFINE} bt={BT} chunk={CHUNK} "
-          f"invp={INV_PASSES} warm={WARM_NS} x{NITER}", flush=True)
+          f"invp={INV_PASSES} warm={WARM_NS} drift={DRIFT_MAX} x{NITER}",
+          flush=True)
     td = Path("/root/reference/test_data")
     from hydra_pspec_tpu.utils.uvh5 import read_uvh5
     bls, _ = read_uvh5(td / "vis-eor-fgs.uvh5")
@@ -65,6 +67,7 @@ def main():
             jax.random.fold_in(jax.random.key(0), rep), mops_b, dims, ps_b,
             prior, NITER, store_cr=STORE_CR, refine=REFINE, batch_tile=BT,
             chunk=CHUNK, inv_passes=INV_PASSES, warm_ns=WARM_NS,
+            drift_max=DRIFT_MAX,
         )
         chi = float(jnp.mean(samples.chisq[-5:]))
         lnp = float(jnp.sum(samples.ln_post))

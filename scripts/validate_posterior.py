@@ -34,6 +34,18 @@ def main():
     p.add_argument("--nburn", type=int, default=120)
     p.add_argument("--nchains", type=int, default=4)
     p.add_argument("--solver", default="auto")
+    p.add_argument("--warm_ns", type=int, default=0,
+                   help="megachain only: Newton-Schulz warm-start steps for "
+                        "the carried inverse (0 = exact rebuild each iter)")
+    p.add_argument("--drift_max", type=float, default=0.25,
+                   help="megachain only: max relative bandpower move for "
+                        "which the warm start is trusted")
+    p.add_argument("--engine", default="real",
+                   choices=["real", "mega", "megachain"],
+                   help="real: single-step XLA+Pallas-solve path; "
+                        "megachain: the fused multi-iteration kernel with "
+                        "in-kernel PRNG (the bench engine — validates its "
+                        "statistics on hardware)")
     p.add_argument("--out", default=str(REPO / "validate_posterior.json"))
     args = p.parse_args()
 
@@ -72,13 +84,34 @@ def main():
     prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
 
     t0 = time.perf_counter()
-    _, samples = rgibbs.run_chain_jit(
-        jax.random.key(7123689), ops_b, ps_b, prior_j, args.niter,
-        False, 0.0, False, prior_idx, args.solver, True,
-    )
-    ps = np.asarray(samples.ps)          # (niter, nchains, nfreqs)
-    chisq = np.asarray(samples.chisq)    # (niter, nchains)
-    lnp = np.asarray(samples.ln_post)
+    if args.engine in ("mega", "megachain"):
+        from hydra_pspec_tpu.models import mega, megachain
+
+        mops1, dims = mega.from_chain_operators(ops1)
+        mops_b = mega.broadcast_mega_operators(mops1, args.nchains)
+        ps_pad = mega.pad_ps(ps_b, dims)
+        if args.engine == "megachain":
+            _, samples = megachain.run_chain_megachain(
+                jax.random.key(7123689), mops_b, dims, ps_pad, prior,
+                args.niter, store_cr=False, warm_ns=args.warm_ns,
+                drift_max=args.drift_max)
+        else:
+            prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32)
+            prior_pad = prior_pad.at[:, :nfreqs].set(prior_j)
+            _, samples = mega.run_chain_mega_jit(
+                jax.random.key(7123689), mops_b, dims, ps_pad, prior_pad,
+                args.niter, store_cr=False, prior_idx=prior_idx)
+        ps = np.asarray(samples.ps)      # (niter, nchains, nfreqs)
+        chisq = np.asarray(samples.chisq)
+        lnp = np.asarray(samples.ln_post)
+    else:
+        _, samples = rgibbs.run_chain_jit(
+            jax.random.key(7123689), ops_b, ps_b, prior_j, args.niter,
+            False, 0.0, False, prior_idx, args.solver, True,
+        )
+        ps = np.asarray(samples.ps)          # (niter, nchains, nfreqs)
+        chisq = np.asarray(samples.chisq)    # (niter, nchains)
+        lnp = np.asarray(samples.ln_post)
     wall = time.perf_counter() - t0
 
     # truth from the EoR-only visibilities
@@ -97,6 +130,7 @@ def main():
 
     verdict = {
         "backend": jax.default_backend(),
+        "engine": args.engine,
         "solver": args.solver,
         "niter": args.niter,
         "nchains": args.nchains,
