@@ -140,13 +140,19 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
             jnp.broadcast_to(jnp.asarray(ps0), (n_baselines, n)), dims)
         refine = int(os.environ.get("BENCH_REFINE", "1"))
         bt = int(os.environ.get("BENCH_BT", "8"))
-        warm_ns = int(os.environ.get("BENCH_WARM_NS", "0"))
+        # Newton-Schulz warm start of the VMEM-carried inverse: 2.45 ms/iter
+        # vs 6.07 with the exact per-iteration rebuild (measured 2026-08-17);
+        # drift gate sized by scripts/probe_ns_drift.py (worst NS seed
+        # delta 0.26 -> solve error ~2e-5 after NS3 + exact refinement).
+        warm_ns = int(os.environ.get("BENCH_WARM_NS", "3"))
+        drift_max = float(os.environ.get("BENCH_DRIFT", "0.6"))
 
         def once(rep, it):
             ps_f, samples = megachain.run_chain_megachain(
                 jax.random.fold_in(jax.random.key(0), rep), mops_b, dims,
                 ps_b, prior, it, store_cr=True, refine=refine,
                 batch_tile=bt, chunk=it, warm_ns=warm_ns,
+                drift_max=drift_max,
             )
             chi = float(jnp.mean(samples.chisq[-5:]))
             lnp = float(jnp.sum(samples.ln_post))

@@ -229,6 +229,8 @@ def main(argv=None):
         dtype=None,
         engine=cfg.engine,
         solver=cfg.solver,
+        warm_ns=cfg.warm_ns,
+        drift_max=cfg.drift_max,
         checkpoint_niter=cfg.checkpoint_Niter,
         resume=cfg.resume,
         run_dir=out_dir,

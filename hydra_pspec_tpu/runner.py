@@ -114,6 +114,8 @@ def run_baselines(
     dtype=None,
     engine: str = "auto",
     solver: str = "auto",
+    warm_ns: int = 3,
+    drift_max: float = 0.6,
     use_mesh: bool = True,
     checkpoint: bool = True,
     checkpoint_niter: int = 0,
@@ -130,6 +132,12 @@ def run_baselines(
 
     ``checkpoint_niter``: checkpoint cadence in iterations (rounded up to
     whole ``write_niter`` chunks); 0 = checkpoint every chunk.
+    ``warm_ns``/``drift_max``: megachain engine only — Newton-Schulz
+    refresh steps for the VMEM-carried system inverse and the maximum
+    relative bandpower move for which the warm start is trusted (sized by
+    scripts/probe_ns_drift.py: NS seed delta <= 0.26 when the gate passes
+    at 0.6, solve error ~ delta^(2^ns) then squared once more by the
+    exact refinement; 0 disables — exact rebuild every iteration).
     ``run_dir``: where checkpoint.npz lives (defaults to the parent of the
     first baseline's out_dir — the run's results directory).
 
@@ -314,7 +322,8 @@ def run_baselines(
         def run_chunk(chunk_key_base, ps, n):
             return megachain.run_chain_megachain(
                 chunk_key_base, ops_b, mega_dims, ps, prior_host, n,
-                store_cr=store_cr, chunk=n,
+                store_cr=store_cr, chunk=n, warm_ns=warm_ns,
+                drift_max=drift_max,
             )
         # outputs: (niter, B, ...) — scan-major
         batch_axis = 1

@@ -53,6 +53,8 @@ class RunConfig:
     jitter: float = 0.0       # Cholesky diagonal jitter (f32 robustness)
     engine: str = "auto"      # "auto" | "real" (TPU f32 pairs) | "complex"
     solver: str = "auto"      # "auto" | "pallas" | "chol" | "recinv"
+    warm_ns: int = 3          # megachain: Newton-Schulz inverse-refresh steps
+    drift_max: float = 0.6    # megachain: max rel. ps move for warm start
 
     @classmethod
     def from_yaml(cls, path, **overrides):
