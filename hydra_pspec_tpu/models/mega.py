@@ -42,6 +42,15 @@ class MegaOperators(NamedTuple):
     nih: jax.Array
     nid_re: jax.Array
     nid_im: jax.Array
+    # FG-DEFLATED masked visibilities: d_w - Fg a0, deflated in float64 on
+    # the host. The kernel's residual is res = dw_defl - sig - Fg(amps-a0),
+    # algebraically identical to d_w - sig - Fg amps but with only
+    # fluctuation-scale operands in the in-kernel matmul: the foreground
+    # amplitudes are ~1e2-1e3 x the noise scale, so computing Fg @ amps
+    # directly at bf16-split precision plants a deterministic
+    # data-correlated ~1e-5*|FG| error inside the noise-scale residual —
+    # measured as a +0.5% (CPU) / +1.5% (TPU) chi^2 bias
+    # (scripts/probe_step_diff.py bisection, 2026-08-17).
     dw_re: jax.Array
     dw_im: jax.Array
     ninv_full: jax.Array
@@ -91,7 +100,17 @@ def from_chain_operators(ops: RChainOperators) -> tuple:
 
     pt_re, pt_im = tpad(ops.p_tilde, n, n)
     nid_re, nid_im = tpad(ops.ni_d, n, t, transpose=True)
-    dw_re, dw_im = tpad(ops.d_w, n, t, transpose=True)
+    # FG-deflate the residual baseline in float64 (see MegaOperators note)
+    dw64 = (np.asarray(ops.d_w.re, np.float64)
+            + 1j * np.asarray(ops.d_w.im, np.float64))
+    fg64 = (np.asarray(ops.fg.re, np.float64)
+            + 1j * np.asarray(ops.fg.im, np.float64))
+    a064 = (np.asarray(ops.a0.re, np.float64)
+            + 1j * np.asarray(ops.a0.im, np.float64))
+    dw_defl = dw64 - np.einsum("bxm,btm->btx", fg64, a064)
+    dw_re, dw_im = tpad(
+        C(dw_defl.real.astype(dt), dw_defl.imag.astype(dt)),
+        n, t, transpose=True)
     fg_re, fg_im = tpad(ops.fg, n, m)
     g_re, g_im = tpad(ops.g_mat, n, m)
     mi_re, mi_im = tpad(ops.maa_inv, m, m)

@@ -186,11 +186,20 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
     ma_re, ma_im = _cmm(mir, mii, ba_re, ba_im)
     gs_re, gs_im = _cmm(jnp.swapaxes(gr, 1, 2),
                         -jnp.swapaxes(gi, 1, 2), sig_re, sig_im)
-    amp_re = ma_re - gs_re + a0r
-    amp_im = ma_im - gs_im + a0i
+    # amp deviation from the host GLS point a0 — fluctuation-scale
+    da_re = ma_re - gs_re
+    da_im = ma_im - gs_im
+    amp_re = da_re + a0r
+    amp_im = da_im + a0i
 
     # --- 6. residual diagnostics -----------------------------------------
-    fa_re, fa_im = _cmm(fgr, fgi, amp_re, amp_im)
+    # dwr/dwi are FG-DEFLATED (dw - Fg a0, float64 host-side), so the
+    # in-kernel FG matmul sees only the small amplitude deviation:
+    # res = (dw - Fg a0) - sig - Fg (amps - a0)  ==  dw - sig - Fg amps
+    # exactly, without planting the bf16 rounding of a foreground-scale
+    # product inside the noise-scale residual (chi^2 bias; see
+    # models/mega.MegaOperators).
+    fa_re, fa_im = _cmm(fgr, fgi, da_re, da_im)
     res_re = dwr - sig_re - fa_re
     res_im = dwi - sig_im - fa_im
     res2 = res_re * res_re + res_im * res_im

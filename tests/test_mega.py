@@ -200,3 +200,57 @@ def test_mega_store_cr_layout():
     assert s.fg_amps.re.shape == (1, d.shape[0], fg.shape[1])
     assert s.chisq.shape == (1, d.shape[0], d.shape[1])
     assert np.isfinite(np.asarray(s.ln_post)).all()
+
+
+def test_megastep_chi_unbiased_with_bright_foregrounds():
+    """Regression for the FG-scale chi^2 bias: with foreground amplitudes
+    ~1e3 x the noise scale, computing Fg @ amps at bf16-split precision
+    inside the residual planted a deterministic error ~1e-5*|FG| into the
+    noise-scale residual (chi^2 +0.5% on CPU, +1.5% on TPU). The kernel
+    now FG-deflates the residual (dw - Fg a0 host-side in f64, in-kernel
+    matmul on the amplitude DEVIATION only) — mean chi must match the
+    composed rgibbs computation to well under the old bias."""
+    ntimes, nfreqs, nmodes = 24, 16, 3
+    # bright smooth foregrounds + faint signal + unit noise
+    fg = np.linalg.qr(crandn(nfreqs, nmodes))[0]
+    amps_true = crandn(ntimes, nmodes) * 3e3
+    d = amps_true @ fg.T + crandn(ntimes, nfreqs) * 2.0 \
+        + crandn(ntimes, nfreqs)
+    w = np.ones(nfreqs)
+    ninv = np.ones(nfreqs)
+    ps = np.abs(RNG.standard_normal(nfreqs)) * 4.0 + 0.1
+
+    rops = rgibbs.build_chain_operators(d, w, fg, ninv, dtype=jnp.float32)
+    mops, dims = mega.from_chain_operators(rops)
+    oa = crandn(1, ntimes, nfreqs) * np.sqrt(nfreqs)
+    ob = crandn(1, ntimes, nfreqs)
+
+    ps_j = jnp.asarray(ps, dtype=jnp.float32)[None]
+    sig, amps, sk = rgibbs.gcr_solve(
+        rops, ps_j, cplx.from_numpy(oa, jnp.float32),
+        cplx.from_numpy(ob, jnp.float32), solver="chol",
+    )
+    model = sig + cplx.matmul(amps, rgibbs._t(rops.fg))
+    resid = rops.d_w - model
+    chisq_ref = np.asarray(resid.abs2() * rops.ninv_full_diag[:, None, :])
+
+    oa_re, oa_im = _pad_t(oa, dims.n, dims.t)
+    ob_re, ob_im = _pad_t(ob, dims.n, dims.t)
+    outs = mega.gcr_megastep(
+        mops.pt_re, mops.pt_im, mega.pad_ps(ps_j, dims), mops.nih,
+        mops.nid_re, mops.nid_im, mops.dw_re, mops.dw_im,
+        mops.ninv_full, mops.w,
+        mops.fg_re, mops.fg_im, mops.g_re, mops.g_im,
+        mops.mi_re, mops.mi_im, mops.a0_re, mops.a0_im,
+        mops.f_re, mops.f_im,
+        jnp.asarray(oa_re), jnp.asarray(oa_im),
+        jnp.asarray(ob_re), jnp.asarray(ob_im),
+        nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
+        batch_tile=1, refine=1, all_unflagged=dims.all_unflagged,
+    )
+    m_chi = np.asarray(outs[4])
+    got_chi = m_chi[0, :nfreqs, :ntimes].T
+    ref_mean = chisq_ref[0].mean()
+    # relative mean-chi agreement: the old FG-scale bias was ~5e-3 here
+    assert abs(got_chi.mean() - ref_mean) / ref_mean < 5e-4, (
+        got_chi.mean(), ref_mean)
