@@ -93,11 +93,18 @@ def _initial_ps_host(S_initial, nfreqs):
 
 
 def select_engine(engine: str = "auto") -> str:
-    """x64 mode selects the complex parity engine; otherwise the real-pair
-    engine runs everywhere (CPU included — it is the f32 production path)."""
+    """x64 mode selects the complex parity engine. On a real TPU backend,
+    auto picks the megachain engine (the max-throughput path; run_baselines
+    falls back to mega/real automatically for features the kernel does not
+    cover). Elsewhere the real-pair f32 engine runs — megachain's in-kernel
+    PRNG is hardware-only (the interpreter stubs it)."""
     if engine != "auto":
         return engine
-    return "complex" if jax.config.jax_enable_x64 else "real"
+    if jax.config.jax_enable_x64:
+        return "complex"
+    if jax.default_backend() == "tpu":
+        return "megachain"
+    return "real"
 
 
 def run_baselines(

@@ -215,3 +215,19 @@ def test_mesh_pads_indivisible_batch(engine, monkeypatch):
                           use_mesh=False, store_cr=False, write_niter=10)
     for a, b in zip(results, r0):
         np.testing.assert_allclose(a.signal_ps, b.signal_ps, **tol)
+
+
+def test_select_engine_auto(monkeypatch):
+    """auto: complex under x64, megachain on a real TPU backend (with
+    runner-level fallback for uncovered features), real elsewhere."""
+    import jax
+
+    from hydra_pspec_tpu.runner import select_engine
+
+    assert select_engine("real") == "real"
+    # CPU f32 (the test env): real
+    assert select_engine("auto") == ("complex" if jax.config.jax_enable_x64
+                                     else "real")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    if not jax.config.jax_enable_x64:
+        assert select_engine("auto") == "megachain"
