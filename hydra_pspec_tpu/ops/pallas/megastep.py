@@ -169,6 +169,9 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
         # caller-supplied policy (e.g. megachain's drift-gated
         # Newton-Schulz warm start over the VMEM-carried inverse)
         build_inv()
+    # (1-pass bf16 inverse applications were measured wall-time-neutral —
+    # Mosaic hides these passes behind other work — so the exact 3-pass
+    # form stays for the tighter sample accuracy.)
     x = _bmm(inv_s[:], x_s[:])
     for _ in range(refine):
         r = x_s[:] - _bmm(e_s[:], x)
