@@ -74,7 +74,14 @@ def load_config(argv=None):
 def setup_precision(cfg):
     import jax
 
-    if cfg.precision == "x64":
+    precision = cfg.precision
+    if precision == "auto":
+        # x64 (and with it the complex parity engine) only where the
+        # backend supports f64 — on TPU the f32 engines are the
+        # production path and x64 would select complex dtypes the
+        # hardware cannot run.
+        precision = "x32" if jax.default_backend() == "tpu" else "x64"
+    if precision == "x64":
         jax.config.update("jax_enable_x64", True)
 
 

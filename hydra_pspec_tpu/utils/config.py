@@ -46,7 +46,8 @@ class RunConfig:
     # --- TPU-native extensions -------------------------------------------
     nchains: int = 1          # independent Gibbs chains per baseline
     time_flags: bool = False  # per-time flag patterns (reference FIXME :541)
-    precision: str = "x64"    # "x64" (CPU parity) | "x32" (TPU perf)
+    precision: str = "auto"   # auto: x64 on CPU (parity), x32 on TPU
+                              # (the TPU backend has no f64/complex ALU)
     store_cr: bool = True     # materialize per-iteration signal CRs
     resume: bool = False      # resume from checkpoint.npz if present
     checkpoint_Niter: int = 0  # 0 = checkpoint every write_Niter

@@ -127,3 +127,26 @@ def test_map_estimate_cli(tmp_path):
     cr = np.load(res / "gcr-eor.npy")
     assert cr.shape == (1, 203, 120)
     assert np.isfinite(cr).all()
+
+
+def test_precision_auto_resolves_by_backend(monkeypatch):
+    """precision='auto' must pick x32 on TPU (no f64/complex ALU there)
+    and x64 elsewhere — a reference YAML config (which has no precision
+    key) must run on a TPU host without selecting the complex engine."""
+    import jax
+
+    from hydra_pspec_tpu.cli.run import setup_precision
+    from hydra_pspec_tpu.utils.config import RunConfig
+
+    assert RunConfig().precision == "auto"
+
+    calls = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: calls.append((k, v)))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    setup_precision(RunConfig())
+    assert ("jax_enable_x64", True) not in calls
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    setup_precision(RunConfig())
+    assert ("jax_enable_x64", True) in calls
