@@ -185,12 +185,15 @@ def build_prior(cfg: RunConfig, nfreqs: int) -> np.ndarray:
 def main(argv=None):
     t_total0 = time.perf_counter()
     cfg, args = load_config(argv)
-    setup_precision(cfg)
 
     if args.num_processes > 1:
         from ..parallel.mesh import initialize_distributed
 
         initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    # AFTER distributed init: precision="auto" reads jax.default_backend(),
+    # which initializes the XLA backend — doing that before
+    # jax.distributed.initialize() is an error in multi-process runs.
+    setup_precision(cfg)
     is_rank0 = args.process_id == 0
 
     # Output dir setup (reference run-hydra-pspec.py:334-365).

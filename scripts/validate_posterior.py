@@ -34,6 +34,11 @@ def main():
     p.add_argument("--nburn", type=int, default=120)
     p.add_argument("--nchains", type=int, default=4)
     p.add_argument("--solver", default="auto")
+    p.add_argument("--flag_channels", default=None,
+                   help="comma list / a-b ranges of channels to RFI-flag "
+                        "(e.g. '12,30-33,77-79,100') — validates the "
+                        "flagged/in-painting kernel branch; chi^2 is then "
+                        "assessed on unflagged channels only")
     p.add_argument("--warm_ns", type=int, default=0,
                    help="megachain only: Newton-Schulz warm-start steps for "
                         "the carried inverse (0 = exact rebuild each iter)")
@@ -67,6 +72,14 @@ def main():
     eor_cov = np.load(td / "0-1" / "eor-cov.npy")
     nfreqs = d.shape[1]
     w = np.ones(nfreqs)
+    if args.flag_channels:
+        for part in args.flag_channels.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                w[int(a): int(b) + 1] = 0
+            else:
+                w[int(part)] = 0
+    unflagged = w.astype(bool)
     ninv = 1.0 / np.diagonal(noise_cov)
     # reference acceptance config: prior [0.1, 2] over +-3 delay-0 bins
     prior = np.zeros((2, nfreqs), dtype=np.float32)
@@ -90,19 +103,25 @@ def main():
         mops1, dims = mega.from_chain_operators(ops1)
         mops_b = mega.broadcast_mega_operators(mops1, args.nchains)
         ps_pad = mega.pad_ps(ps_b, dims)
+        # flagged runs need per-channel chi to assess only unflagged
+        # channels (flagged-channel chi is |in-painted model|^2 Ninv by
+        # the reference's convention, pspec.py:447-452 — huge, not ~1)
+        store_cr = bool(args.flag_channels)
         if args.engine == "megachain":
             _, samples = megachain.run_chain_megachain(
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior,
-                args.niter, store_cr=False, warm_ns=args.warm_ns,
+                args.niter, store_cr=store_cr, warm_ns=args.warm_ns,
                 drift_max=args.drift_max)
         else:
             prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32)
             prior_pad = prior_pad.at[:, :nfreqs].set(prior_j)
             _, samples = mega.run_chain_mega_jit(
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior_pad,
-                args.niter, store_cr=False, prior_idx=prior_idx)
+                args.niter, store_cr=store_cr, prior_idx=prior_idx)
         ps = np.asarray(samples.ps)      # (niter, nchains, nfreqs)
         chisq = np.asarray(samples.chisq)
+        if store_cr:                     # (niter, nchains, nt, nf)
+            chisq = chisq[:, :, :, unflagged].mean(axis=(2, 3))
         lnp = np.asarray(samples.ln_post)
     else:
         _, samples = rgibbs.run_chain_jit(
@@ -132,6 +151,8 @@ def main():
         "backend": jax.default_backend(),
         "engine": args.engine,
         "solver": args.solver,
+        **({"flag_channels": args.flag_channels}
+           if args.flag_channels else {}),
         "niter": args.niter,
         "nchains": args.nchains,
         "wall_s": round(wall, 2),
