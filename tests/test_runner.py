@@ -105,11 +105,35 @@ def test_multichain_and_rhat(tmp_path):
     assert np.isfinite(rhat).all()
 
 
-@pytest.mark.parametrize("engine", ["complex", "real"])
+@pytest.mark.parametrize("engine", ["complex", "real", "megachain"])
 def test_checkpoint_resume_complete_outputs(engine, tmp_path):
     """A run killed mid-way and resumed must end with COMPLETE output files
     whose post-resume tail matches an uninterrupted run exactly (same seed,
-    same chunk schedule) — VERDICT r1 weak #2."""
+    same chunk schedule) — VERDICT r1 weak #2. megachain: chunk keys
+    derive from the GLOBAL iteration offset (runner.py fold_in(base_key,
+    1e6 + done)), so a resume at a chunk boundary replays the same
+    in-kernel seed schedule; on CPU the interpreter stubs the core PRNG,
+    so this exercises the state/chunk plumbing (ps carried across the
+    checkpoint) rather than stream content — stream determinism is the
+    same fold_in logic the mega/real engines test."""
+    if engine == "megachain":
+        # the plain HLO interpreter has no prng_seed; use the TPU
+        # interpreter (as tests/test_megachain.py does)
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+        request_cleanup = ctx
+    else:
+        request_cleanup = None
+    try:
+        _resume_body(engine, tmp_path)
+    finally:
+        if request_cleanup is not None:
+            request_cleanup.__exit__(None, None, None)
+
+
+def _resume_body(engine, tmp_path):
     prior = np.zeros((2, 16))
     niter, wn = 6, 2
 
