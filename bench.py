@@ -119,6 +119,12 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     # conditional + PRNG) is the fastest engine: 164.6 iter/s vs 91 for the
     # single-step real engine at the same workload (measured 2026-08-17).
     engine = os.environ.get("BENCH_ENGINE", "megachain")
+    if engine == "megachain" and jax.default_backend() != "tpu":
+        # the megachain in-kernel PRNG is hardware-only (the plain HLO
+        # interpreter has no prng_seed); CPU benching uses the real engine
+        print("[bench] no TPU backend — falling back to BENCH_ENGINE=real",
+              file=sys.stderr)
+        engine = "real"
     dtype = jnp.float32
     ops1 = rgibbs.build_chain_operators(d, w, fgmodes, ninv_diag, dtype=dtype)
     # initial ps from the covariance — host-side numpy (the TPU backend has

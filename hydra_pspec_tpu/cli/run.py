@@ -39,14 +39,17 @@ def build_parser():
         if f.name == "file_paths":
             continue
         arg = f"--{f.name}"
+        # dispatch on the dataclass annotation so new RunConfig fields get
+        # the right CLI type automatically (a hand-kept name list silently
+        # parsed new numeric knobs as strings)
+        tname = str(f.type)
         if f.type is bool or isinstance(f.default, bool):
             # --X / --no-X so defaults-True knobs (store_cr) can be disabled
             p.add_argument(arg, action=argparse.BooleanOptionalAction,
                            default=None)
-        elif f.name in ("Niter", "Nfgmodes", "n_ps_prior_bins", "seed",
-                        "write_Niter", "Nproc", "nchains", "checkpoint_Niter"):
+        elif "int" in tname:
             p.add_argument(arg, type=int, default=None)
-        elif f.name in ("ps_prior_lo", "ps_prior_hi", "jitter"):
+        elif "float" in tname:
             p.add_argument(arg, type=float, default=None)
         else:
             p.add_argument(arg, type=str, default=None)

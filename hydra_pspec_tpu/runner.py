@@ -183,6 +183,12 @@ def run_baselines(
         # the mega kernels cover the production sampling path; MAP mode
         # and dense noise run through the general real-pair engine
         engine = "real"
+    if engine in ("mega", "megachain") and any(
+            j.flags_tf is not None for j in jobs):
+        # the time-dependent-flags runner only distinguishes real vs
+        # complex (per-flag-pattern grouped operators); route the mega
+        # family to the real-pair groups, not the x64 complex path
+        engine = "real"
     if any(j.flags_tf is not None for j in jobs):
         return _run_baselines_tflags(
             jobs, ps_prior, niter, seed=seed, nchains=nchains,
@@ -397,8 +403,12 @@ def run_baselines(
                     ckps = mega.pad_ps(ckps, mega_dims)
                 npad = ps_b.shape[0] - n_real
                 if npad:
+                    # batch-pad at the CURRENT freq width (mega engines
+                    # are already freq-padded to mega_dims.n here)
                     ckps = jnp.concatenate(
-                        [ckps, jnp.broadcast_to(ckps[:1], (npad, nfreqs))], 0
+                        [ckps,
+                         jnp.broadcast_to(ckps[:1],
+                                          (npad, ckps.shape[1]))], 0
                     )
                 if multiproc:
                     ps_b = pmesh.host_local_to_global(np.asarray(ckps), dev_mesh)

@@ -39,10 +39,13 @@ def main():
                         "(e.g. '12,30-33,77-79,100') — validates the "
                         "flagged/in-painting kernel branch; chi^2 is then "
                         "assessed on unflagged channels only")
-    p.add_argument("--warm_ns", type=int, default=0,
+    p.add_argument("--warm_ns", type=int, default=3,
                    help="megachain only: Newton-Schulz warm-start steps for "
-                        "the carried inverse (0 = exact rebuild each iter)")
-    p.add_argument("--drift_max", type=float, default=0.25,
+                        "the carried inverse (0 = exact rebuild each iter). "
+                        "Defaults MATCH the production configuration "
+                        "(runner/bench: warm_ns=3, drift_max=0.6) so the "
+                        "acceptance evidence covers what ships")
+    p.add_argument("--drift_max", type=float, default=0.6,
                    help="megachain only: max relative bandpower move for "
                         "which the warm start is trusted")
     p.add_argument("--engine", default="real",

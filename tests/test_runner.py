@@ -116,21 +116,18 @@ def test_checkpoint_resume_complete_outputs(engine, tmp_path):
     so this exercises the state/chunk plumbing (ps carried across the
     checkpoint) rather than stream content — stream determinism is the
     same fold_in logic the mega/real engines test."""
+    import contextlib
+
     if engine == "megachain":
         # the plain HLO interpreter has no prng_seed; use the TPU
         # interpreter (as tests/test_megachain.py does)
         from jax.experimental.pallas import tpu as pltpu
 
         ctx = pltpu.force_tpu_interpret_mode()
-        ctx.__enter__()
-        request_cleanup = ctx
     else:
-        request_cleanup = None
-    try:
+        ctx = contextlib.nullcontext()
+    with ctx:
         _resume_body(engine, tmp_path)
-    finally:
-        if request_cleanup is not None:
-            request_cleanup.__exit__(None, None, None)
 
 
 def _resume_body(engine, tmp_path):
@@ -249,9 +246,13 @@ def test_select_engine_auto(monkeypatch):
     from hydra_pspec_tpu.runner import select_engine
 
     assert select_engine("real") == "real"
-    # CPU f32 (the test env): real
+    # CPU: complex under x64, real otherwise
     assert select_engine("auto") == ("complex" if jax.config.jax_enable_x64
                                      else "real")
+    import types
+
+    # unconditional TPU assertion: stub both reads select_engine makes
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    if not jax.config.jax_enable_x64:
-        assert select_engine("auto") == "megachain"
+    monkeypatch.setattr(
+        jax, "config", types.SimpleNamespace(jax_enable_x64=False))
+    assert select_engine("auto") == "megachain"

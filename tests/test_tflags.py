@@ -110,10 +110,13 @@ def test_real_engine_grouped_matches_complex():
     assert np.abs(got - want).max() / denom < 5e-4
 
 
-@pytest.mark.parametrize("engine", ["complex", "real"])
+@pytest.mark.parametrize("engine", ["complex", "real", "megachain"])
 def test_runner_tflags_path(engine, tmp_path):
     """run_baselines dispatches jobs carrying flags_tf through the grouped
-    path and writes complete reference-named outputs."""
+    path and writes complete reference-named outputs. The mega family must
+    route to the REAL grouped path (the tflags runner only distinguishes
+    real vs complex; demoting megachain to 'mega' used to fall into the
+    x64 complex branch the TPU backend cannot run)."""
     from hydra_pspec_tpu.runner import BaselineJob, run_baselines
 
     d, flags, fg, ninv, _ = make_problem(ntimes=12)
@@ -128,6 +131,8 @@ def test_runner_tflags_path(engine, tmp_path):
         engine=engine, use_mesh=False,
     )
     assert len(results) == 1
+    if engine == "megachain":
+        assert timings["engine"] == "real"
     r = results[0]
     assert r.signal_ps.shape == (niter, d.shape[1])
     assert r.signal_cr.shape == (niter,) + d.shape
