@@ -17,6 +17,7 @@ Differences from the reference by design:
 import argparse
 import sys
 import time
+import typing
 from dataclasses import fields
 from pathlib import Path
 
@@ -35,21 +36,26 @@ def build_parser():
     )
     p.add_argument("--config", type=str, help="YAML config (reference format)")
     p.add_argument("file_paths", nargs="*", help="uvh5 visibility file(s)")
+    hints = typing.get_type_hints(RunConfig)
     for f in fields(RunConfig):
         if f.name == "file_paths":
             continue
         arg = f"--{f.name}"
-        # dispatch on the dataclass annotation so new RunConfig fields get
-        # the right CLI type automatically (a hand-kept name list silently
-        # parsed new numeric knobs as strings)
-        tname = str(f.type)
-        if f.type is bool or isinstance(f.default, bool):
+        # dispatch on the RESOLVED dataclass annotation so new RunConfig
+        # fields get the right CLI type automatically; Optional[T] unwraps
+        # to T (substring-matching str(annotation) mis-dispatched e.g.
+        # list[int] or string annotations containing "int")
+        t = hints.get(f.name, str)
+        if typing.get_origin(t) is typing.Union:
+            args_t = [a for a in typing.get_args(t) if a is not type(None)]
+            t = args_t[0] if len(args_t) == 1 else str
+        if t is bool:
             # --X / --no-X so defaults-True knobs (store_cr) can be disabled
             p.add_argument(arg, action=argparse.BooleanOptionalAction,
                            default=None)
-        elif "int" in tname:
+        elif t is int:
             p.add_argument(arg, type=int, default=None)
-        elif "float" in tname:
+        elif t is float:
             p.add_argument(arg, type=float, default=None)
         else:
             p.add_argument(arg, type=str, default=None)

@@ -52,7 +52,11 @@ class RunConfig:
     resume: bool = False      # resume from checkpoint.npz if present
     checkpoint_Niter: int = 0  # 0 = checkpoint every write_Niter
     jitter: float = 0.0       # Cholesky diagonal jitter (f32 robustness)
-    engine: str = "auto"      # "auto" | "real" (TPU f32 pairs) | "complex"
+    engine: str = "auto"      # "auto" | "megachain" (TPU max-throughput,
+                              # K iters/kernel) | "mega" (fused single-step)
+                              # | "real" (TPU f32 pairs) | "complex" (x64
+                              # parity); auto = megachain on TPU, complex
+                              # under x64, real elsewhere
     solver: str = "auto"      # "auto" | "pallas" | "chol" | "recinv"
     warm_ns: int = 3          # megachain: Newton-Schulz inverse-refresh steps
     drift_max: float = 0.6    # megachain: max rel. ps move for warm start
