@@ -53,7 +53,7 @@ def load_problem():
     return d, w, fgmodes, eor_cov, ninv_diag, prior
 
 
-def measure_reference_cpu(d, w, fgmodes, eor_cov, ninv_diag, prior, niters=2):
+def measure_reference_cpu(d, w, fgmodes, eor_cov, ninv_diag, prior, niters=5):
     """Seconds per Gibbs iteration for ONE baseline with the reference
     algorithm (build_matrices + per-time CG + bandpower draw + diagnostics).
     """
@@ -90,11 +90,21 @@ def measure_reference_cpu(d, w, fgmodes, eor_cov, ninv_diag, prior, niters=2):
     return float(np.median(times))
 
 
-def get_cpu_baseline(problem):
+def get_cpu_baseline(problem, niters=5):
+    """Reference s/iter, cached with provenance (host, timestamp, niters).
+    Caches with fewer than ``niters`` timed iterations are remeasured —
+    the denominator of the headline number should not rest on 2 samples."""
     if CPU_CACHE.exists() and not os.environ.get("BENCH_REMEASURE"):
-        return json.loads(CPU_CACHE.read_text())["sec_per_iter"]
-    sec = measure_reference_cpu(*problem)
-    CPU_CACHE.write_text(json.dumps({"sec_per_iter": sec, "host": os.uname().nodename}))
+        cache = json.loads(CPU_CACHE.read_text())
+        if cache.get("niters", 0) >= niters:
+            return cache["sec_per_iter"]
+    sec = measure_reference_cpu(*problem, niters=niters)
+    CPU_CACHE.write_text(json.dumps({
+        "sec_per_iter": sec,
+        "niters": niters,
+        "host": os.uname().nodename,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }))
     return sec
 
 
@@ -115,10 +125,16 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
 
     d, w, fgmodes, eor_cov, ninv_diag, prior = problem
     solver = os.environ.get("BENCH_SOLVER", "auto")
-    # megachain (K Gibbs iterations per Pallas program, in-kernel bandpower
-    # conditional + PRNG) is the fastest engine: 164.6 iter/s vs 91 for the
-    # single-step real engine at the same workload (measured 2026-08-17).
-    engine = os.environ.get("BENCH_ENGINE", "megachain")
+    # The bench measures the engine the runner's auto-selection gives real
+    # users on this backend (megachain on TPU: K Gibbs iterations per
+    # Pallas program, in-kernel bandpower conditional + per-chain PRNG).
+    # BENCH_ENGINE overrides for experiments only.
+    from hydra_pspec_tpu.runner import select_engine
+
+    auto_engine = select_engine("auto")
+    engine = os.environ.get("BENCH_ENGINE", auto_engine)
+    if "BENCH_ENGINE" not in os.environ:
+        assert engine == auto_engine, (engine, auto_engine)
     if engine == "megachain" and jax.default_backend() != "tpu":
         # the megachain in-kernel PRNG is hardware-only (the plain HLO
         # interpreter has no prng_seed); CPU benching uses the real engine
@@ -218,7 +234,7 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
     print(f"[bench] chi^2 sanity: {chi:.4f} (want ~1)", file=sys.stderr)
     print(f"[bench] rep walls (s): {[round(w, 3) for w in walls]}",
           file=sys.stderr)
-    return wall / niter, chi, walls
+    return wall / niter, chi, walls, engine, auto_engine
 
 
 def main():
@@ -230,9 +246,10 @@ def main():
 
     print(f"[bench] measuring ours: {N_BASELINES} baselines x {N_ITER} iters...",
           file=sys.stderr)
-    sec_per_iter, chi, walls = measure_ours(problem)
+    sec_per_iter, chi, walls, engine, auto_engine = measure_ours(problem)
     ours_its = 1.0 / sec_per_iter            # iterations/s with all baselines advancing
     ref_its = 1.0 / ref_sec_per_iter         # reference: 100 ranks advance together
+    cpu_cache = json.loads(CPU_CACHE.read_text()) if CPU_CACHE.exists() else {}
     result = {
         "metric": f"gibbs_iterations_per_s_{N_BASELINES}bl_1chip",
         "value": round(ours_its, 3),
@@ -240,10 +257,14 @@ def main():
         "vs_baseline": round(ours_its / ref_its, 2),
         "detail": {
             "ref_cpu_sec_per_iter_1bl": round(ref_sec_per_iter, 4),
+            "ref_cpu_niters": cpu_cache.get("niters"),
+            "ref_cpu_host": cpu_cache.get("host"),
             "ours_sec_per_iter_batch": round(sec_per_iter, 4),
             "baseline_iters_per_s": round(ours_its * N_BASELINES, 1),
             "chisq_sanity": round(chi, 4),
             "niter": N_ITER,
+            "engine": engine,
+            "auto_engine": auto_engine,
             "rep_walls_s": [round(w, 3) for w in walls],
         },
     }

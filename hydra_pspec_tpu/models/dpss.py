@@ -64,6 +64,35 @@ def dpss_fit_modes(d, w, freqs, cov, nmodes=10, alpha=1.0, taper=None):
     return modes, amps
 
 
+def dpss_fit_modes_rp(d, w, freqs, cov, nmodes=10, alpha=1.0, taper=None):
+    """Real-pair twin of :func:`dpss_fit_modes` — no complex dtypes, so it
+    runs on TPU backends without complex support (the reference's
+    optimizer loop is CPU-only, hydra_pspec/dpss.py:78-89). ``d`` and
+    ``cov`` are ``ops.cplx.C`` pairs; returns the same
+    ``(dpss_modes, amps)`` with interleaved re/im coefficients."""
+    from ..ops import cplx
+    from ..ops.cplx import C
+
+    nfreqs = d.re.shape[-1]
+    fdt = d.re.dtype
+    modes = jnp.asarray(dpss_basis(nfreqs, nmodes, alpha), dtype=fdt)
+    w = jnp.asarray(w, dtype=fdt)
+    taper = jnp.ones(nfreqs, fdt) if taper is None else jnp.asarray(taper, fdt)
+
+    invcov = cplx.hermitian_inverse(cov)
+    H = C(0.5 * (invcov.re + invcov.re.T), 0.5 * (invcov.im - invcov.im.T))
+
+    weight = taper * w
+    phi = weight[:, None] * modes.T                       # (nfreqs, nmodes) real
+    wd = C(weight * d.re, weight * d.im)
+    hd = C(H.re @ wd.re - H.im @ wd.im, H.re @ wd.im + H.im @ wd.re)
+    rhs = C(phi.T @ hd.re, phi.T @ hd.im)                 # (nmodes,)
+    gram = C(phi.T @ H.re @ phi, phi.T @ H.im @ phi)      # Hermitian
+    z = cplx.hermitian_solve(gram, C(rhs.re[:, None], rhs.im[:, None]))
+    amps = jnp.stack([z.re[:, 0], z.im[:, 0]], axis=-1).reshape(-1)
+    return modes, amps
+
+
 def dpss_model(modes, amps):
     """Reconstruct the fitted foreground model from interleaved re/im
     coefficients (reference loglike model, dpss.py:80-81)."""

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import cplx
+from ..ops.cplx import C
+
 
 def model_ap(amp, phase, tau, freqs):
     """Sinusoid model, amplitude/phase form (reference lssa.py:6-7)."""
@@ -76,6 +79,55 @@ def lssa_fit_modes(d, freqs, invcov=None, fit_amp_phase=True, tau=None, taper=No
         phase = jnp.angle(z) % (2.0 * jnp.pi)
         return tau, amp, phase
     return tau, z.real, z.imag
+
+
+@partial(jax.jit, static_argnames=("fit_amp_phase",))
+def lssa_fit_modes_rp(d: C, freqs, invcov: C = None, fit_amp_phase=True,
+                      tau=None, taper=None):
+    """Real-pair twin of :func:`lssa_fit_modes` — no complex dtypes
+    anywhere, so it runs on TPU backends without complex support
+    (reference estimators are CPU-only, hydra_pspec/lssa.py:95; this is
+    the on-device path). ``d``/``invcov`` are ``ops.cplx.C`` pairs.
+
+    Same closed-form GLS: z*(tau) = (g^H H d) / (g^H H g) with
+    g = taper * exp(-2 pi i tau freqs) and H the Hermitian part of
+    ``invcov``. Matches the complex implementation to dtype precision
+    (pinned in tests/test_estimators.py)."""
+    freqs = jnp.asarray(freqs, dtype=d.re.dtype)
+    n = d.re.shape[-1]
+    if tau is None:
+        tau = (jnp.fft.fftfreq(n, d=freqs[1] - freqs[0]) * 1e3).astype(
+            freqs.dtype)
+    else:
+        tau = jnp.asarray(tau, dtype=freqs.dtype)
+    if invcov is None:
+        eye = jnp.eye(n, dtype=freqs.dtype)
+        invcov = C(eye, jnp.zeros_like(eye))
+    if taper is None:
+        taper = jnp.ones_like(freqs)
+    # Hermitian part: H = (A + A^H) / 2
+    H = C(0.5 * (invcov.re + invcov.re.T), 0.5 * (invcov.im - invcov.im.T))
+    td = C(taper * d.re, taper * d.im)
+    # hd = H @ (taper * d) — one matvec shared by every tau
+    hd = C(H.re @ td.re - H.im @ td.im, H.re @ td.im + H.im @ td.re)
+
+    def fit_one(t):
+        ph = -2.0 * jnp.pi * t * freqs
+        g = C(taper * jnp.cos(ph), taper * jnp.sin(ph))
+        # num = g^H hd ; den = Re[g^H H g] (real for Hermitian H)
+        num = C(jnp.sum(g.re * hd.re + g.im * hd.im),
+                jnp.sum(g.re * hd.im - g.im * hd.re))
+        hg = C(H.re @ g.re - H.im @ g.im, H.re @ g.im + H.im @ g.re)
+        den = jnp.sum(g.re * hg.re + g.im * hg.im)
+        den = jnp.maximum(den, jnp.finfo(den.dtype).tiny)
+        return C(num.re / den, num.im / den)
+
+    z = jax.vmap(fit_one)(tau)
+    if fit_amp_phase:
+        amp = jnp.sqrt(z.abs2())
+        phase = jnp.arctan2(z.im, z.re) % (2.0 * jnp.pi)
+        return tau, amp, phase
+    return tau, z.re, z.im
 
 
 @jax.jit

@@ -171,15 +171,24 @@ def gibbs_step_mega(
     batch_tile: int = 8,
     store_cr: bool = True,
     inkernel_rng: bool = False,
+    sids=None,
 ):
     """One Gibbs alternation through the mega-kernel. ``ps_pad`` and
     ``ps_prior_pad`` live in the padded basis (see :func:`pad_ps`).
+
+    Randomness is keyed per chain on ``fold_in(key, sids[b])`` (``sids``
+    defaults to the batch positions) so a chain's draws depend only on its
+    global stream id — batch padding and slot placement leave real chains'
+    samples bit-identical (same invariance contract as the megachain
+    engine and rgibbs.gibbs_step).
+
     ``inkernel_rng``: draw the fluctuation vectors with the TPU core PRNG
-    inside the kernel (different — equally valid — random stream than the
-    threefry path; seeds derive from ``key``)."""
+    inside the kernel (profiling mode; streams are seeded per grid step,
+    NOT composition-invariant)."""
     B = ps_pad.shape[0]
     n, t = dims.n, dims.t
-    k_oma, k_omb, k_ps = jax.random.split(key, 3)
+    if sids is None:
+        sids = jnp.arange(B, dtype=jnp.int32)
     common = dict(
         nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
         batch_tile=batch_tile, refine=refine,
@@ -187,15 +196,26 @@ def gibbs_step_mega(
     )
     if inkernel_rng:
         seed = jax.random.randint(
-            k_oma, (1, 1), minval=-2**31, maxval=2**31 - 1, dtype=jnp.int32)
+            key, (1, 1), minval=-2**31, maxval=2**31 - 1, dtype=jnp.int32)
         omegas = dict(seed=seed, inkernel_rng=True)
+        k_ps = jax.vmap(
+            lambda s: jax.random.split(jax.random.fold_in(key, s), 3)[2]
+        )(sids)
     else:
         half = np.sqrt(0.5).astype(np.float32)
         # omega_a drawn directly in the delay basis with covariance nfreqs*I
         sa = half * np.sqrt(np.float32(dims.nfreqs))
-        oa = jax.random.normal(k_oma, (2, B, n, t), dtype=jnp.float32) * sa
-        ob = jax.random.normal(k_omb, (2, B, n, t), dtype=jnp.float32) * half
-        omegas = dict(oa_re=oa[0], oa_im=oa[1], ob_re=ob[0], ob_im=ob[1])
+
+        def draw_one(sid):
+            kc = jax.random.fold_in(key, sid)
+            ka, kb, kp = jax.random.split(kc, 3)
+            oa = jax.random.normal(ka, (2, n, t), dtype=jnp.float32) * sa
+            ob = jax.random.normal(kb, (2, n, t), dtype=jnp.float32) * half
+            return oa, ob, kp
+
+        oa, ob, k_ps = jax.vmap(draw_one)(sids)     # (B, 2, n, t)
+        omegas = dict(oa_re=oa[:, 0], oa_im=oa[:, 1],
+                      ob_re=ob[:, 0], ob_im=ob[:, 1])
 
     sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask = gcr_megastep(
         mops.pt_re, mops.pt_im, ps_pad, mops.nih,
@@ -207,9 +227,13 @@ def gibbs_step_mega(
         **omegas, **common,
     )
 
-    ps_new = sample_bandpowers_from_beta(
-        k_ps, beta, dims.ntimes, ps_prior_pad, prior_idx, mops.igt
-    )
+    # vmapped over the per-chain keys (same batch-composition invariance
+    # as the omega draws; the table is chain-shared)
+    ps_new = jax.vmap(
+        lambda k, b: sample_bandpowers_from_beta(
+            k, b, dims.ntimes, ps_prior_pad, prior_idx, mops.igt
+        )
+    )(k_ps, beta)
     # pad bins: beta == 0 -> keep them exactly 0 so dd stays 0 next round
     npad_mask = (jnp.arange(n) < dims.nfreqs).astype(ps_new.dtype)
     ps_new = ps_new * npad_mask
@@ -243,7 +267,7 @@ def gibbs_step_mega(
 def run_chain_mega(
     key, mops: MegaOperators, dims: MegaDims, ps0_pad, ps_prior_pad,
     niter: int, store_cr: bool = True, prior_idx=None, refine: int = 1,
-    batch_tile: int = 8, inkernel_rng: bool = False,
+    batch_tile: int = 8, inkernel_rng: bool = False, sids=None,
 ):
     """``lax.scan`` over iterations of the mega step (batch-first)."""
 
@@ -251,7 +275,7 @@ def run_chain_mega(
         return gibbs_step_mega(
             jax.random.fold_in(key, i), ps, mops, dims, ps_prior_pad,
             prior_idx=prior_idx, refine=refine, batch_tile=batch_tile,
-            store_cr=store_cr, inkernel_rng=inkernel_rng,
+            store_cr=store_cr, inkernel_rng=inkernel_rng, sids=sids,
         )
 
     return jax.lax.scan(body, ps0_pad, jnp.arange(niter))

@@ -14,11 +14,15 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..ops.cplx import C
 from ..ops.pallas.megachain import gcr_megachain, _P_PAD
+from ..parallel.mesh import BATCH_AXIS
 from .mega import MegaDims, MegaOperators, pad_ps
 from .rgibbs import RGibbsSample
+
+MAX_PRIOR_BINS = _P_PAD  # kernel prior-lane capacity (runner demotion gate)
 
 
 class MegaChainTables(NamedTuple):
@@ -51,6 +55,36 @@ def prior_static_from(prior, dims: MegaDims):
         (int(i), float(p[1, i]), float(p[0, i])) for i in idxs)
 
 
+def draw_chunk_randomness(key, sids, dims: MegaDims, k_total: int,
+                          alpha_int: int):
+    """Per-chain external randomness for the no-core-PRNG mode (CPU /
+    interpret): each chain's stream is keyed by ``fold_in(key, sid)`` ONLY,
+    so values are invariant to batch composition — mesh padding,
+    multi-process slot layout, and shard placement leave every real
+    chain's randomness (and with it the whole trajectory) bit-identical.
+    Returns the dict gcr_megachain expects, arrays shaped (K, B, ...)."""
+    n, t = dims.n, dims.t
+    sa = np.float32(np.sqrt(0.5) * np.sqrt(dims.nfreqs))
+    hf = np.float32(np.sqrt(0.5))
+    K = k_total
+
+    def one(sid):
+        kc = jax.random.fold_in(key, sid)
+        ka, kb, kg, ku = jax.random.split(kc, 4)
+        oa = jax.random.normal(ka, (2, K, n, t), jnp.float32) * sa
+        ob = jax.random.normal(kb, (2, K, n, t), jnp.float32) * hf
+        gam = jax.random.gamma(kg, float(alpha_int), (K, n),
+                               dtype=jnp.float32)
+        u = jax.random.uniform(ku, (K, 128), dtype=jnp.float32)
+        return oa[0], oa[1], ob[0], ob[1], gam, u
+
+    oar, oai, obr, obi, gam, u = jax.vmap(one)(
+        jnp.asarray(sids, dtype=jnp.int32))
+    mv = lambda x: jnp.moveaxis(x, 0, 1)  # (B, K, ...) -> (K, B, ...)
+    return dict(oa_re=mv(oar), oa_im=mv(oai), ob_re=mv(obr), ob_im=mv(obi),
+                gam=mv(gam), u_pb=mv(u))
+
+
 def _ln_post(noise_nu, bmask, ps, nfreqs):
     """(K, B) log posterior from the per-iteration vector outputs —
     identical form to models/mega.gibbs_step_mega."""
@@ -69,6 +103,10 @@ def run_chunk_megachain(
     *,
     seed=None,
     randomness=None,
+    chunk_key=None,
+    sids=None,
+    mesh=None,
+    inkernel_rng: Optional[bool] = None,
     refine: int = 1,
     batch_tile: int = 8,
     store_cr: bool = True,
@@ -76,40 +114,107 @@ def run_chunk_megachain(
     warm_ns: int = 0,
     drift_max: float = 0.25,
 ):
-    """One kernel invocation of ``k_total`` iterations. ``randomness``
-    (CPU tests): dict with oa/ob pairs (K, B, n, t), gam (K, B, n),
-    u_pb (K, B, 128); otherwise ``seed`` drives the in-kernel PRNG.
+    """One kernel invocation of ``k_total`` iterations.
+
+    Randomness, one of three forms:
+      * ``chunk_key`` (+ ``sids``, production): per-chain
+        batch-composition-invariant streams — on TPU the in-kernel core
+        PRNG seeded per (seed, sid, k); elsewhere (or with
+        ``inkernel_rng=False``) per-chain external draws from
+        :func:`draw_chunk_randomness`.
+      * ``randomness`` dict (pinning tests): explicit (K, B, ...) arrays.
+      * ``seed`` scalar: raw in-kernel mode (streams by batch position).
+
+    ``mesh``: a 1D device mesh — the kernel call (and external randomness
+    generation) runs under ``shard_map`` with the (baseline x chain) batch
+    axis split over the mesh and chain constants sharded alongside; shared
+    operators (F, tables, seed) are replicated. No collectives run inside
+    (the sampler is embarrassingly parallel, SURVEY.md §2.6/2.7).
+
     ``warm_ns > 0``: carry the system inverse across iterations in VMEM
     and refresh it with that many Newton-Schulz steps instead of a full
-    rebuild when the relative bandpower move stays under ``drift_max``.
-    Returns (ps_pad_final, RGibbsSample stacked over K)."""
-    inkernel = randomness is None
+    rebuild when the chain's relative bandpower move stays under
+    ``drift_max``. Returns (ps_pad_final, RGibbsSample stacked over K)."""
+    if inkernel_rng is None:
+        inkernel_rng = randomness is None and (
+            chunk_key is None or jax.default_backend() == "tpu")
+    B = ps_pad.shape[0]
+    if sids is None:
+        sids = jnp.arange(B, dtype=jnp.int32)
     kwargs = dict(
         nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
         k_total=k_total, alpha_int=dims.ntimes - 1,
         prior_static=tuple(prior_static), batch_tile=batch_tile,
         refine=refine, all_unflagged=dims.all_unflagged,
-        inkernel_rng=inkernel, inv_passes=inv_passes,
+        inkernel_rng=inkernel_rng, inv_passes=inv_passes,
         warm_ns=warm_ns, drift_max=drift_max,
     )
-    if inkernel:
-        rng_args = dict(seed=seed)
-    else:
-        rng_args = dict(
-            oa_re=randomness["oa_re"], oa_im=randomness["oa_im"],
-            ob_re=randomness["ob_re"], ob_im=randomness["ob_im"],
-            gam=randomness["gam"], u_pb=randomness["u_pb"],
-        )
-    (sig_re, sig_im, amp_re, amp_im, chi, ps_k, noise_nu, bmask,
-     ps_final) = gcr_megachain(
+    batched_ops = (
         mops.pt_re, mops.pt_im, mops.nih,
         mops.nid_re, mops.nid_im, mops.dw_re, mops.dw_im,
         mops.ninv_full, mops.w,
         mops.fg_re, mops.fg_im, mops.g_re, mops.g_im,
         mops.mi_re, mops.mi_im, mops.a0_re, mops.a0_im,
-        mops.f_re, mops.f_im, tables.tlog8, tables.q8, ps_pad,
-        **rng_args, **kwargs,
     )
+    shared = (mops.f_re, mops.f_im, tables.tlog8, tables.q8)
+
+    def _rng_args(sid, ck, rnd):
+        if rnd is not None:
+            return rnd
+        if ck is not None:
+            if inkernel_rng:
+                return dict(
+                    seed=jax.random.randint(ck, (), -2**31, 2**31 - 1,
+                                            dtype=jnp.int32),
+                    sids=sid,
+                )
+            return draw_chunk_randomness(
+                ck, sid, dims, k_total, dims.ntimes - 1)
+        return dict(seed=seed, sids=sid)
+
+    def _call(bops, shr, ps, sid, ck, rnd):
+        return gcr_megachain(
+            *bops, shr[0], shr[1], shr[2], shr[3], ps,
+            **_rng_args(sid, ck, rnd), **kwargs,
+        )
+
+    if mesh is None:
+        outs = _call(batched_ops, shared, ps_pad, sids, chunk_key,
+                     randomness)
+    else:
+        from jax.experimental.shard_map import shard_map
+
+        bspec = P(BATCH_AXIS)
+        rep = P()
+        kbspec = P(None, BATCH_AXIS)
+        base_specs = (tuple(bspec for _ in batched_ops),
+                      tuple(rep for _ in shared), bspec, bspec)
+        out_specs = tuple([kbspec] * 8 + [bspec])
+        # None operands can't carry shard_map specs — bind whichever
+        # randomness form is absent into the closure instead.
+        if randomness is not None:
+            fn = shard_map(
+                lambda b, s, p, i, r: _call(b, s, p, i, None, r),
+                mesh=mesh,
+                in_specs=base_specs + ({k: kbspec for k in randomness},),
+                out_specs=out_specs, check_rep=False,
+            )
+            outs = fn(batched_ops, shared, ps_pad, sids, randomness)
+        elif chunk_key is not None:
+            fn = shard_map(
+                lambda b, s, p, i, c: _call(b, s, p, i, c, None),
+                mesh=mesh,
+                in_specs=base_specs + (rep,),
+                out_specs=out_specs, check_rep=False,
+            )
+            outs = fn(batched_ops, shared, ps_pad, sids, chunk_key)
+        else:
+            raise ValueError(
+                "mesh execution needs chunk_key or randomness (a raw "
+                "position-seeded scalar seed is not composition-invariant)")
+
+    (sig_re, sig_im, amp_re, amp_im, chi, ps_k, noise_nu, bmask,
+     ps_final) = outs
     ln_post = _ln_post(noise_nu, bmask, ps_k, dims.nfreqs)
     nf, nt, nm = dims.nfreqs, dims.ntimes, dims.nmodes
     ps_out = ps_k[:, :, :nf]
@@ -141,6 +246,10 @@ def run_chain_megachain(
     prior,
     niter: int,
     *,
+    sids=None,
+    mesh=None,
+    inkernel_rng: Optional[bool] = None,
+    tables: Optional[MegaChainTables] = None,
     store_cr: bool = True,
     refine: int = 1,
     batch_tile: int = 8,
@@ -150,9 +259,15 @@ def run_chain_megachain(
     drift_max: float = 0.25,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
-    min(niter, 100)); randomness from the in-kernel PRNG seeded off
-    ``key``. Returns (ps_pad_final, samples stacked over niter)."""
-    tables = make_chain_tables(mops)
+    min(niter, 100)); per-chain randomness streams keyed on
+    (fold_in(key, chunk), sid) — in-kernel core PRNG on TPU, external
+    draws elsewhere (``inkernel_rng`` overrides). ``mesh``: run sharded
+    over a 1D device mesh (see run_chunk_megachain). ``tables``: pass
+    pre-built host-side InvGammaTable rows when ``mops.igt`` is no longer
+    host-addressable (multi-process globally-replicated operators).
+    Returns (ps_pad_final, samples stacked over niter)."""
+    if tables is None:
+        tables = make_chain_tables(mops)
     prior_static = prior_static_from(prior, dims)
     chunk = min(niter, chunk or 100)
     ps = ps0_pad
@@ -161,12 +276,10 @@ def run_chain_megachain(
     ci = 0
     while it < niter:
         k_total = min(chunk, niter - it)
-        seed = jax.random.randint(
-            jax.random.fold_in(key, ci), (), minval=-2**31, maxval=2**31 - 1,
-            dtype=jnp.int32)
         ps, sample = run_chunk_megachain(
             mops, tables, dims, ps, k_total, prior_static,
-            seed=seed, refine=refine, batch_tile=batch_tile,
+            chunk_key=jax.random.fold_in(key, ci), sids=sids, mesh=mesh,
+            inkernel_rng=inkernel_rng, refine=refine, batch_tile=batch_tile,
             store_cr=store_cr, inv_passes=inv_passes,
             warm_ns=warm_ns, drift_max=drift_max,
         )

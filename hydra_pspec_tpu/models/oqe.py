@@ -21,7 +21,10 @@ an FFT because ``m_tau[k] = exp(-2 pi i k tau / s)`` is a DFT row):
 """
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ..ops import cplx
+from ..ops.cplx import C
 from ..ops.linalg import hermitian_sqrt
 
 
@@ -172,6 +175,154 @@ def getqs(Vis, R, verbose=False):
     MA = M_Finv(Fm)
     qs = q_h(Vis, s, R)
     return qs, Fm, MB, MA
+
+
+# --- real-pair tier (no complex dtypes: runs on TPU backends without ----
+# --- complex support; pinned against the x64 complex tier in tests) -----
+
+def _dft_mat_rp(s: int, dtype=jnp.float32) -> C:
+    """Unnormalized DFT operator ``F[t, k] = exp(-2 pi i t k / s)`` as a
+    real pair (symmetric, so row transforms are ``x @ F``)."""
+    k = np.arange(s)
+    ph = np.outer(k, k) * (-2.0 * np.pi / s)
+    return C(jnp.asarray(np.cos(ph), dtype=dtype),
+             jnp.asarray(np.sin(ph), dtype=dtype))
+
+
+def _dft_rows_rp(x: C, f: C) -> C:
+    """fft along the last axis as a matmul (s ~ 10^2: MXU beats FFT and
+    avoids complex dtypes entirely)."""
+    return cplx.matmul(x, f)
+
+
+def _dft2_rp(a: C, f: C) -> C:
+    """``F a F^H`` — real-pair twin of :func:`_dft2`."""
+    return cplx.matmul(cplx.matmul(f, a), f.adjoint())
+
+
+def _diag_rp(a: C) -> C:
+    return C(jnp.diagonal(a.re, axis1=-2, axis2=-1),
+             jnp.diagonal(a.im, axis1=-2, axis2=-1))
+
+
+@jax.jit
+def bias_rp(R: C, C_noise_total: C) -> C:
+    """Real-pair twin of :func:`bias`."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    return 0.5 * _diag_rp(_dft2_rp(
+        cplx.matmul(cplx.matmul(R, C_noise_total), R.conj()), f))
+
+
+@jax.jit
+def qhat_all_rp(x: C, R: C, bias_vec: C = None) -> C:
+    """Real-pair twin of :func:`qhat_all`; ``x``: (..., s) pair."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    rx = _dft_rows_rp(cplx.matmul(x, R.T), f)
+    rtx = _dft_rows_rp(cplx.matmul(x, R), f)
+    q = 0.5 * (rtx.conj() * rx)
+    if bias_vec is not None:
+        q = q - bias_vec
+    return q
+
+
+@jax.jit
+def qhat_h_all_rp(x1: C, x2: C, R: C) -> C:
+    """Real-pair twin of :func:`qhat_h_all`."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    f1 = _dft_rows_rp(cplx.matmul(x1, R.T), f)
+    f2 = _dft_rows_rp(cplx.matmul(x2, R.T), f)
+    return 0.5 * (f1.conj() * f2)
+
+
+@jax.jit
+def F_rp(R: C) -> C:
+    """Real-pair Fisher matrix (twin of :func:`F`)."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    g1 = _dft2_rp(R, f)
+    g2 = _dft2_rp(R.conj(), f)
+    return 0.5 * (g1 * g2.T)
+
+
+def _inv_general_rp(a: C) -> C:
+    """Inverse of a general complex matrix via its real 2n x 2n embedding
+    (the inverse of [[Ar, -Ai], [Ai, Ar]] keeps the same structure)."""
+    e = cplx.embed_hermitian(a)  # structure embedding; no Hermitian claim
+    x = jnp.linalg.inv(e)
+    h = a.re.shape[-1]
+    return C(x[..., :h, :h], x[..., h:, :h])
+
+
+def M_Finv_rp(Fm: C) -> C:
+    """Real-pair ``M = F^{-1}``."""
+    return _inv_general_rp(Fm)
+
+
+def hermitian_sqrt_rp(m: C) -> C:
+    """Hermitian PSD square root via eigh of the real embedding
+    (sqrt(E) is the embedding of sqrt(M))."""
+    e = cplx.embed_hermitian(m)
+    vals, vecs = jnp.linalg.eigh(e)
+    se = (vecs * jnp.sqrt(jnp.clip(vals, 0.0, None))) @ vecs.T
+    h = m.re.shape[-1]
+    return C(se[..., :h, :h], se[..., h:, :h])
+
+
+def M_Fhalf_rp(Fm: C) -> C:
+    """Real-pair ``M = F^{-1/2}`` (Hermitian part)."""
+    herm = C(0.5 * (Fm.re + Fm.re.T), 0.5 * (Fm.im - Fm.im.T))
+    return _inv_general_rp(hermitian_sqrt_rp(herm))
+
+
+@jax.jit
+def M_opt_rp(Fm: C) -> C:
+    """Real-pair window-normalized diagonal M (twin of :func:`M_opt`)."""
+    d = _diag_rp(Fm)
+    dinv = cplx.cdiv(C(jnp.ones_like(d.re), jnp.zeros_like(d.im)), d)
+    # Md @ Fm scales rows of Fm by dinv
+    W = C(dinv.re[:, None] * Fm.re - dinv.im[:, None] * Fm.im,
+          dinv.re[:, None] * Fm.im + dinv.im[:, None] * Fm.re)
+    rs = C(jnp.sum(W.re, axis=1), jnp.sum(W.im, axis=1))
+    md = cplx.cdiv(dinv, rs)
+    n = Fm.re.shape[-1]
+    eye = jnp.eye(n, dtype=Fm.re.dtype)
+    return C(eye * md.re[:, None], eye * md.im[:, None])
+
+
+def q_h_rp(V: C, s, R: C):
+    """Real-pair cross-correlation estimator over adjacent pairs."""
+    v1 = C(V.re[0::2], V.im[0::2])
+    v2 = C(V.re[1::2], V.im[1::2])
+    return qhat_h_all_rp(v1, v2, R)
+
+
+def getqs_rp(Vis: C, R: C):
+    """Real-pair end-to-end OQE (twin of :func:`getqs`)."""
+    s = Vis.re.shape[-1]
+    Fm = F_rp(R)
+    MB = M_opt_rp(Fm)
+    MA = M_Finv_rp(Fm)
+    qs = q_h_rp(Vis, s, R)
+    return qs, Fm, MB, MA
+
+
+@jax.jit
+def Sig_QEN_rp(R: C, C_noise: C, norm) -> C:
+    """Real-pair noise-only error bar (twin of :func:`Sig_QEN`)."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    t = _diag_rp(_dft2_rp(cplx.matmul(cplx.matmul(R, C_noise), R), f))
+    norm = jnp.asarray(norm, dtype=R.re.dtype)
+    nt = C(norm * t.re, norm * t.im)
+    return 0.5 * (nt * nt)
+
+
+@jax.jit
+def Sig_QESN_rp(R: C, C_noise: C, C_S: C, norm) -> C:
+    """Real-pair signal+noise error bar (twin of :func:`Sig_QESN`)."""
+    f = _dft_mat_rp(R.re.shape[-1], R.re.dtype)
+    tn = _diag_rp(_dft2_rp(cplx.matmul(cplx.matmul(R, C_noise), R), f))
+    ts = _diag_rp(_dft2_rp(cplx.matmul(cplx.matmul(R, C_S), R), f))
+    norm = jnp.asarray(norm, dtype=R.re.dtype)
+    return 0.5 * (norm * norm) * ((tn * tn) + 2.0 * (ts * tn))
 
 
 @jax.jit

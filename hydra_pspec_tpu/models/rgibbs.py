@@ -279,18 +279,22 @@ def gibbs_step(
     prior_idx=None,
     solver: str = "auto",
     all_unflagged: bool = False,
+    sids=None,
 ):
     """One Gibbs alternation for the whole batch (reference
     pspec.py:377-490 semantics per chain). ``all_unflagged`` (static,
     host-derived): when every chain has w == 1 the masked delay transform
     used by ln_post equals ``sk`` exactly — skip recomputing it."""
     batch, ntimes, nfreqs = ops.d_w.shape
-    # Per-chain keyed draws (fold_in by batch index): each chain's stream
-    # depends only on (key, its index), NOT on the total batch shape — so
-    # mesh padding and multi-process slot placement leave every real
-    # chain's samples bit-identical to an unpadded/single-process run.
+    # Per-chain keyed draws (fold_in by global stream id, defaulting to the
+    # batch index): each chain's stream depends only on (key, its id), NOT
+    # on the total batch shape or its slot position — so mesh padding and
+    # multi-process slot placement leave every real chain's samples
+    # bit-identical to an unpadded/single-process run.
+    if sids is None:
+        sids = jnp.arange(batch)
     kb = jax.vmap(lambda i: jax.random.split(jax.random.fold_in(key, i), 3))(
-        jnp.arange(batch)
+        sids
     )                                             # (B, 3) keys
     k_oma, k_omb, k_ps = kb[:, 0], kb[:, 1], kb[:, 2]
 
@@ -363,6 +367,7 @@ def run_chain(
     key, ops: RChainOperators, ps0, ps_prior, niter: int,
     map_estimate: bool = False, jitter: float = 0.0, store_cr: bool = True,
     prior_idx=None, solver: str = "auto", all_unflagged: bool = False,
+    sids=None,
 ):
     """``lax.scan`` over iterations for the whole batch."""
 
@@ -370,7 +375,7 @@ def run_chain(
         ps_new, s = gibbs_step(
             jax.random.fold_in(key, i), ps, ops, ps_prior,
             map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
-            solver=solver, all_unflagged=all_unflagged,
+            solver=solver, all_unflagged=all_unflagged, sids=sids,
         )
         if not store_cr:
             zero = jnp.zeros((), dtype=ps_new.dtype)

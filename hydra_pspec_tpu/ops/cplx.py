@@ -88,6 +88,13 @@ class C(NamedTuple):
         return self.re * self.re + self.im * self.im
 
 
+def cdiv(a: C, b: C) -> C:
+    """Elementwise complex division a / b."""
+    d = jnp.maximum(b.abs2(), jnp.finfo(b.re.dtype).tiny)
+    return C((a.re * b.re + a.im * b.im) / d,
+             (a.im * b.re - a.re * b.im) / d)
+
+
 def from_numpy(z, dtype=jnp.float32) -> C:
     z = np.asarray(z)
     return C(jnp.asarray(z.real, dtype=dtype), jnp.asarray(z.imag, dtype=dtype))

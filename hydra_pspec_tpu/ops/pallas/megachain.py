@@ -150,23 +150,26 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       k_total: int, alpha_int: int, prior_static,
                       inv_passes: int, warm_ns: int, drift_max: float,
                       *refs):
+    nscr = 6 + (1 if warm_ns > 0 else 0)
     if inkernel_rng:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
          fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-         a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref, seed_ref,
-         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-         chi_o, ps_o, noise_o, bmask_o, psf_o,
-         e_s, w_s, inv_s, x_s, ps_s, psx_s) = refs
+         a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
+         seed_ref, sid_ref) = refs[: len(refs) - 9 - nscr]
     else:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
          fg_re, fg_im, g_re, g_im, mi_re, mi_im,
          a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
-         oa_re, oa_im, ob_re, ob_im, gam_ref, u_ref,
-         sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-         chi_o, ps_o, noise_o, bmask_o, psf_o,
-         e_s, w_s, inv_s, x_s, ps_s, psx_s) = refs
+         oa_re, oa_im, ob_re, ob_im, gam_ref, u_ref) = refs[
+             : len(refs) - 9 - nscr]
+    (sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+     chi_o, ps_o, noise_o, bmask_o, psf_o) = refs[len(refs) - 9 - nscr:
+                                                  len(refs) - nscr]
+    scratches = refs[len(refs) - nscr:]
+    (e_s, w_s, inv_s, x_s, ps_s, psx_s) = scratches[:6]
+    tmp_s = scratches[6] if warm_ns > 0 else None
     bt, n, _ = pt_re.shape
     t = nid_re.shape[2]
     fdt = pt_re.dtype
@@ -181,19 +184,49 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     ps = ps_s[:]
 
     if inkernel_rng:
-        pltpu.prng_seed(seed_ref[0, 0] + i * k_total + k)
         half = jnp.asarray(np.sqrt(0.5), fdt)
         sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
-        obr, obi, oar, oai = _normal_quad_t(bt, n, t, ntimes_true, fdt)
-        obr = obr * half
-        obi = obi * half
-        oar = oar * sa
-        oai = oai * sa
+        a_pad = -(-alpha_int // 8) * 8
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (a_pad, 1), 0)
+                   < alpha_int).astype(fdt)
+        # Per-chain streams: each chain's randomness is a fixed-shape draw
+        # sequence from a PRNG seeded on (run seed, global chain stream id,
+        # iteration) ONLY — so mesh sharding, multi-process slot padding,
+        # and tile placement leave every real chain's samples bit-identical
+        # to a single-device run (the reference's per-process reseeding,
+        # pspec.py:186-197, attempted this and had a known bug).
+        obr_l, obi_l, oar_l, oai_l, gam_l, u_l = [], [], [], [], [], []
+        # Mosaic accepts at most 2 seed words: mix the iteration into the
+        # first word with an odd multiplier (injective mod 2^32, so
+        # distinct k -> distinct word; wraparound is deterministic).
+        seed_k = seed_ref[0, 0] + k * jnp.int32(-1640531527)  # 0x9E3779B9
+        for c in range(bt):
+            # sid_ref holds the FULL (1, bp) row (Mosaic requires SMEM
+            # blocks equal to the array dims); index this tile's chains
+            pltpu.prng_seed(seed_k, sid_ref[0, i * bt + c])
+            br, bi, ar, ai = _normal_quad_t(1, n, t, ntimes_true, fdt)
+            obr_l.append(br)
+            obi_l.append(bi)
+            oar_l.append(ar)
+            oai_l.append(ai)
+            # Gamma(alpha) via the exact integer-alpha sum of exponentials
+            u_al = _uniform_bits((a_pad, n), fdt)
+            gam_l.append(-jnp.sum(jnp.log(u_al) * rowmask, axis=0,
+                                  keepdims=True))            # (1, n)
+            u_l.append(_uniform_bits((8, 128), fdt)[:1])      # (1, 128)
+        obr = jnp.concatenate(obr_l, 0) * half
+        obi = jnp.concatenate(obi_l, 0) * half
+        oar = jnp.concatenate(oar_l, 0) * sa
+        oai = jnp.concatenate(oai_l, 0) * sa
+        gam = jnp.concatenate(gam_l, 0)                       # (bt, n)
+        u_pb = jnp.concatenate(u_l, 0)[:, :_P_PAD]            # (bt, _P_PAD)
     else:
         oar = oa_re[0]
         oai = oa_im[0]
         obr = ob_re[0]
         obi = ob_im[0]
+        gam = gam_ref[0]
+        u_pb = u_ref[0][:, :_P_PAD]
 
     fr = jnp.broadcast_to(f_re[:][None], (bt, n, n))
     fi = jnp.broadcast_to(f_im[:][None], (bt, n, n))
@@ -203,20 +236,24 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         n2 = 2 * n
 
         def build_inv():
-            # Drift-gated Newton-Schulz warm start: between Gibbs
-            # iterations the system changes only through D(ps), so the
-            # VMEM-carried inverse of the previous iteration is a
+            # Drift-gated Newton-Schulz warm start, PER CHAIN: between
+            # Gibbs iterations the system changes only through D(ps), so
+            # the VMEM-carried inverse of the previous iteration is a
             # quadratically-converging starting point — ``warm_ns``
             # X <- X(2I - EX) steps (1-pass bf16; NS is self-correcting
             # and the solve is refined afterwards) replace the full
-            # recursive rebuild unless the relative bandpower move
+            # recursive rebuild unless the chain's relative bandpower move
             # exceeds ``drift_max`` (or this is the tile's first step).
+            # The gate is evaluated per chain and applied with a select so
+            # each chain's result depends only on its OWN trajectory —
+            # a tile-wide max would couple chains and break bit-invariance
+            # across batch compositions (mesh sharding / slot padding).
             psx = psx_s[:]
             rel = jnp.abs(ps - psx) / (
                 0.5 * (jnp.abs(ps) + jnp.abs(psx))
                 + 1e-6 * jnp.max(psx, axis=1, keepdims=True)
                 + jnp.finfo(fdt).tiny)
-            drift = jnp.max(rel)
+            drift = jnp.max(rel, axis=1, keepdims=True)       # (bt, 1)
             # NaN-safe: warm-start ONLY when the drift is provably small —
             # a NaN drift (corrupted state) must fall through to the exact
             # rebuild, so the comparison is phrased as "k > 0 AND drift
@@ -224,20 +261,23 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
             # "drift > max -> rebuild" (NaN > x is False -> would keep a
             # poisoned carried inverse forever).
             rebuild = jnp.logical_not(
-                jnp.logical_and(k > 0, drift <= drift_max))
+                jnp.logical_and(k > 0, drift <= drift_max))   # (bt, 1)
 
-            @pl.when(rebuild)
+            @pl.when(jnp.logical_not(jnp.all(rebuild)))
             def _():
-                w_s[:] = e_s[:]
-                _spd_inv_into(w_s, inv_s, 0, n2,
-                              mm=(_bmm if inv_passes == 3 else _bmm1))
-
-            @pl.when(jnp.logical_not(rebuild))
-            def _():
+                # NS refresh of the carried inverse; rebuild chains get
+                # their lanes overwritten by the select below
                 two_eye = 2.0 * _eye(n2, fdt)[None]
                 for _ in range(warm_ns):
                     ex = _bmm1(e_s[:], inv_s[:])
                     inv_s[:] = _bmm1(inv_s[:], two_eye - ex)
+
+            @pl.when(jnp.any(rebuild))
+            def _():
+                w_s[:] = e_s[:]
+                _spd_inv_into(w_s, tmp_s, 0, n2,
+                              mm=(_bmm if inv_passes == 3 else _bmm1))
+                inv_s[:] = jnp.where(rebuild[:, :, None], tmp_s[:], inv_s[:])
 
             psx_s[:] = ps
 
@@ -251,18 +291,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     )
 
     # --- bandpower conditional, in-kernel --------------------------------
-    if inkernel_rng:
-        a_pad = -(-alpha_int // 8) * 8
-        u_al = _uniform_bits((a_pad, bt, n), fdt)
-        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (a_pad, 1, 1), 0)
-                   < alpha_int).astype(fdt)
-        gam = -jnp.sum(jnp.log(u_al) * rowmask, axis=0)      # (bt, n)
-        u_row = _uniform_bits((bt, 128), fdt)
-        u_pb = u_row[:, :_P_PAD]
-    else:
-        gam = gam_ref[0]
-        u_pb = u_ref[0][:, :_P_PAD]
-
+    # (gam / u_pb drawn in the per-chain streams above)
     tlog = tlog_ref[0:1, :][:, None, :]                       # (1, 1, S)
     qrow = q_ref[0:1, :][:, None, :]
     ps_new = _sample_bandpowers_body(beta, gam, u_pb, prior_static,
@@ -291,7 +320,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
                   a0_re, a0_im, f_re, f_im, tlog8, q8, ps0,
                   oa_re=None, oa_im=None, ob_re=None, ob_im=None,
-                  gam=None, u_pb=None, seed=None,
+                  gam=None, u_pb=None, seed=None, sids=None,
                   *, nfreqs_true: int, ntimes_true: int, k_total: int,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
@@ -304,8 +333,14 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     and ``ps0`` the (B, n) initial padded bandpowers. ``prior_static`` is a
     static tuple of ``(bin_index, lo, hi)`` for the bounded bins.
 
-    With ``inkernel_rng=False`` (CPU tests), per-iteration randomness is
-    passed in: omegas (K, B, n, t) x4, ``gam`` (K, B, n) Gamma(alpha)
+    ``inkernel_rng=True`` (TPU production): ``sids`` is the (B,) int32
+    global chain stream ids — each chain's in-kernel PRNG stream is seeded
+    on (seed, sids[b], k) only, so results are invariant to batch
+    composition (mesh sharding, multi-process slot padding, tile
+    placement).
+
+    With ``inkernel_rng=False`` (CPU / interpret), per-iteration randomness
+    is passed in: omegas (K, B, n, t) x4, ``gam`` (K, B, n) Gamma(alpha)
     variates, ``u_pb`` (K, B, 128) uniforms (first 8 lanes used).
 
     Returns ``(sig_re, sig_im, amp_re, amp_im, chi, ps, noise_nu, bmask,
@@ -323,12 +358,18 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     per_iter = []
     if not inkernel_rng:
         per_iter = [oa_re, oa_im, ob_re, ob_im, gam, u_pb]
+    else:
+        if sids is None:
+            sids = jnp.arange(B, dtype=jnp.int32)
+        sids = jnp.asarray(sids, dtype=jnp.int32)
     if pad_b:
         def pb(x):
             return jnp.concatenate(
                 [x, jnp.broadcast_to(x[:1], (pad_b,) + x.shape[1:])], 0)
         batched = [pb(x) for x in batched]
         ps0 = pb(ps0)
+        if inkernel_rng:
+            sids = pb(sids)
 
         def pbk(x):  # (K, B, ...) -> pad axis 1
             return jnp.concatenate(
@@ -373,6 +414,9 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         in_specs.append(pl.BlockSpec((1, 1), lambda i, k: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(seed, dtype=jnp.int32).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, bp), lambda i, k: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(sids.reshape(1, bp))
     else:
         in_specs += [kmat(n, t), kmat(n, t),   # omega_a (delay basis)
                      kmat(n, t), kmat(n, t),   # omega_b
@@ -400,6 +444,17 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         jax.ShapeDtypeStruct((bp, n), jnp.float32),
     ]
     n2 = 2 * n
+    scratch_shapes = [
+        pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # E
+        pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # Schur workspace
+        pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # inverse
+        pltpu.VMEM((batch_tile, n2, t), jnp.float32),   # embedded RHS
+        pltpu.VMEM((batch_tile, n), jnp.float32),       # ps state
+        pltpu.VMEM((batch_tile, n), jnp.float32),       # ps of carried inv
+    ]
+    if warm_ns > 0:
+        # rebuild target for the per-chain gate select
+        scratch_shapes.append(pltpu.VMEM((batch_tile, n2, n2), jnp.float32))
     outs = pl.pallas_call(
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
@@ -410,14 +465,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # E
-            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # Schur workspace
-            pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # inverse
-            pltpu.VMEM((batch_tile, n2, t), jnp.float32),   # embedded RHS
-            pltpu.VMEM((batch_tile, n), jnp.float32),       # ps state
-            pltpu.VMEM((batch_tile, n), jnp.float32),       # ps of carried inv
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),

@@ -96,8 +96,10 @@ def select_engine(engine: str = "auto") -> str:
     """x64 mode selects the complex parity engine. On a real TPU backend,
     auto picks the megachain engine (the max-throughput path; run_baselines
     falls back to mega/real automatically for features the kernel does not
-    cover). Elsewhere the real-pair f32 engine runs — megachain's in-kernel
-    PRNG is hardware-only (the interpreter stubs it)."""
+    cover). Elsewhere the real-pair f32 engine runs. An explicit
+    ``engine="megachain"`` works on any backend: off-TPU the kernel runs
+    in interpret mode with per-chain external randomness (the core PRNG is
+    hardware-only)."""
     if engine != "auto":
         return engine
     if jax.config.jax_enable_x64:
@@ -124,6 +126,7 @@ def run_baselines(
     warm_ns: int = 3,
     drift_max: float = 0.6,
     use_mesh: bool = True,
+    mesh_devices: Optional[Sequence] = None,
     checkpoint: bool = True,
     checkpoint_niter: int = 0,
     resume: bool = False,
@@ -161,15 +164,14 @@ def run_baselines(
         write_niter = 1
     engine = select_engine(engine)
     if engine == "megachain":
-        # max-throughput single-host engine: K iterations per Pallas
-        # program with per-grid-step PRNG streams. Paths that need
-        # batch-composition-invariant streams (multi-process, mesh
-        # sharding) or features outside the kernel fall back to mega.
+        # max-throughput engine: K iterations per Pallas program with
+        # per-chain batch-composition-invariant PRNG streams — runs in
+        # every distribution configuration (mesh-sharded, multi-process).
+        # Only features outside the kernel fall back to mega.
         n_prior_bins = int(
             np.count_nonzero(np.any(np.asarray(ps_prior) > 0, axis=0)))
-        if (map_estimate or num_processes > 1
-                or (use_mesh and len(jax.devices()) > 1)
-                or n_prior_bins > 8
+        if (map_estimate
+                or n_prior_bins > megachain.MAX_PRIOR_BINS
                 or jobs[0].d.shape[0] > 1025
                 or any(j.flags_tf is not None for j in jobs)):
             engine = "mega"
@@ -262,6 +264,15 @@ def run_baselines(
             for ib, ic in meta
         ]
     )
+    # Global chain stream ids for the mega engines: each (baseline, chain)
+    # pair's randomness depends only on this id, never on batch position.
+    sid_b = jnp.asarray(
+        np.asarray([gids[ib] * nchains + ic for ib, ic in meta],
+                   dtype=np.int32))
+    # InvGammaTable rows must be captured host-side BEFORE global sharding
+    # (a globally-replicated array is not host-addressable per process).
+    mega_tables = (megachain.make_chain_tables(ops_b)
+                   if engine == "megachain" else None)
 
     # --- pad + shard the batch over the device mesh ---------------------
     # The mesh always engages: a batch not divisible by the device count is
@@ -269,6 +280,8 @@ def run_baselines(
     # dropped on the host (pmesh.pad_batch contract).
     n_real = len(meta)
     multiproc = num_processes > 1
+    local_pad = 0  # dummy slots appended to THIS process's block
+    dev_mesh = None
     t_scatter0 = time.perf_counter()
     if multiproc:
         ndev = len(jax.devices())  # global device count
@@ -277,7 +290,7 @@ def run_baselines(
             num_processes, ndev, nchains,
         )
         slots = (bpad // num_processes) * nchains
-        pad = slots - n_real
+        pad = local_pad = slots - n_real
         # typed PRNG keys can't cross the host/numpy boundary — ship raw
         # key data and re-wrap after global assembly
         keys_b = jax.random.key_data(keys_b)
@@ -292,21 +305,23 @@ def run_baselines(
             ops_b = jax.tree.map(_pad, body)._replace(**shared)
             ps_b = _pad(ps_b)
             keys_b = _pad(keys_b)
+            sid_b = _pad(sid_b)
         dev_mesh = pmesh.make_mesh()
         body, shared = _split_ops(ops_b, engine)
         body = pmesh.host_local_to_global(body, dev_mesh)
         shared = pmesh.replicated_to_global(shared, dev_mesh)
         ops_b = body._replace(**shared)
         ps_b = pmesh.host_local_to_global(ps_b, dev_mesh)
+        sid_b = pmesh.host_local_to_global(sid_b, dev_mesh)
         keys_b = jax.random.wrap_key_data(
             pmesh.host_local_to_global(keys_b, dev_mesh)
         )
-    elif use_mesh and len(jax.devices()) > 1:
-        dev_mesh = pmesh.make_mesh()
+    elif use_mesh and len(mesh_devices or jax.devices()) > 1:
+        dev_mesh = pmesh.make_mesh(mesh_devices)
         nsh = len(dev_mesh.devices.flat)
         n_padded = pmesh.pad_batch(n_real, nsh)
         if n_padded != n_real:
-            pad = n_padded - n_real
+            pad = local_pad = n_padded - n_real
 
             def _pad(x):
                 return jnp.concatenate(
@@ -317,6 +332,7 @@ def run_baselines(
             ops_b = jax.tree.map(_pad, body)._replace(**shared)
             ps_b = _pad(ps_b)
             keys_b = _pad(keys_b)
+            sid_b = _pad(sid_b)
         body, shared = _split_ops(ops_b, engine)
         body = pmesh.shard_batch(body, dev_mesh)
         rep = pmesh.replicated_sharding(dev_mesh)
@@ -324,6 +340,7 @@ def run_baselines(
         ops_b = body._replace(**shared)
         ps_b = pmesh.shard_batch(ps_b, dev_mesh)
         keys_b = pmesh.shard_batch(keys_b, dev_mesh)
+        sid_b = pmesh.shard_batch(sid_b, dev_mesh)
     # Staging is async; block so t_scatter measures real transfer time
     # (reference timers: run-hydra-pspec.py:485-486).
     jax.block_until_ready((ps_b, keys_b))
@@ -332,11 +349,16 @@ def run_baselines(
 
     # --- per-chunk step functions ---------------------------------------
     if engine == "megachain":
+        # per-chain streams from the in-kernel core PRNG on TPU; external
+        # per-chain draws elsewhere (interpret mode stubs the PRNG)
+        mc_inkernel = jax.default_backend() == "tpu"
+
         def run_chunk(chunk_key_base, ps, n):
             return megachain.run_chain_megachain(
                 chunk_key_base, ops_b, mega_dims, ps, prior_host, n,
-                store_cr=store_cr, chunk=n, warm_ns=warm_ns,
-                drift_max=drift_max,
+                sids=sid_b, mesh=dev_mesh, inkernel_rng=mc_inkernel,
+                tables=mega_tables, store_cr=store_cr, chunk=n,
+                warm_ns=warm_ns, drift_max=drift_max,
             )
         # outputs: (niter, B, ...) — scan-major
         batch_axis = 1
@@ -344,7 +366,7 @@ def run_baselines(
         def run_chunk(chunk_key_base, ps, n):
             return mega.run_chain_mega_jit(
                 chunk_key_base, ops_b, mega_dims, ps, prior, n,
-                store_cr=store_cr, prior_idx=prior_idx_j,
+                store_cr=store_cr, prior_idx=prior_idx_j, sids=sid_b,
             )
         # outputs: (niter, B, ...) — scan-major
         batch_axis = 1
@@ -354,7 +376,7 @@ def run_baselines(
             return rgibbs.run_chain_jit(
                 chunk_key_base, ops_b, ps, prior, niter=n,
                 map_estimate=map_estimate, jitter=jitter, store_cr=store_cr,
-                prior_idx=prior_idx_j, solver=solver,
+                prior_idx=prior_idx_j, solver=solver, sids=sid_b,
             )
         # outputs: (niter, B, ...) — scan-major
         batch_axis = 1
@@ -401,7 +423,11 @@ def run_baselines(
                 ckps = jnp.asarray(ck["ps"], dtype=ps_b.dtype)
                 if engine in ("mega", "megachain"):
                     ckps = mega.pad_ps(ckps, mega_dims)
-                npad = ps_b.shape[0] - n_real
+                # pad to this PROCESS's slot count (ps_b is the padded
+                # GLOBAL batch in a multi-process run while the checkpoint
+                # holds only the local n_real rows — r2 bug)
+                npad = (local_pad if multiproc
+                        else ps_b.shape[0] - n_real)
                 if npad:
                     # batch-pad at the CURRENT freq width (mega engines
                     # are already freq-padded to mega_dims.n here)
