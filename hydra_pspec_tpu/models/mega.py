@@ -172,6 +172,7 @@ def gibbs_step_mega(
     store_cr: bool = True,
     inkernel_rng: bool = False,
     sids=None,
+    chi_mask=None,
 ):
     """One Gibbs alternation through the mega-kernel. ``ps_pad`` and
     ``ps_prior_pad`` live in the padded basis (see :func:`pad_ps`).
@@ -256,7 +257,14 @@ def gibbs_step_mega(
         )
     else:
         zero = jnp.zeros((), dtype=jnp.float32)
-        chi_mean = jnp.sum(chi, axis=(1, 2)) / (dims.nfreqs * dims.ntimes)
+        if chi_mask is not None:
+            cm = jnp.zeros((chi.shape[1],), jnp.float32).at[
+                : dims.nfreqs].set(jnp.asarray(chi_mask, jnp.float32))
+            chi_mean = jnp.sum(chi * cm[None, :, None], axis=(1, 2)) / (
+                jnp.sum(cm) * dims.ntimes)
+        else:
+            chi_mean = jnp.sum(chi, axis=(1, 2)) / (
+                dims.nfreqs * dims.ntimes)
         sample = RGibbsSample(
             signal_cr=C(zero, zero), ps=ps_out,
             fg_amps=C(zero, zero), chisq=chi_mean, ln_post=ln_post,
@@ -268,6 +276,7 @@ def run_chain_mega(
     key, mops: MegaOperators, dims: MegaDims, ps0_pad, ps_prior_pad,
     niter: int, store_cr: bool = True, prior_idx=None, refine: int = 1,
     batch_tile: int = 8, inkernel_rng: bool = False, sids=None,
+    chi_mask=None,
 ):
     """``lax.scan`` over iterations of the mega step (batch-first)."""
 
@@ -276,6 +285,7 @@ def run_chain_mega(
             jax.random.fold_in(key, i), ps, mops, dims, ps_prior_pad,
             prior_idx=prior_idx, refine=refine, batch_tile=batch_tile,
             store_cr=store_cr, inkernel_rng=inkernel_rng, sids=sids,
+            chi_mask=chi_mask,
         )
 
     return jax.lax.scan(body, ps0_pad, jnp.arange(niter))

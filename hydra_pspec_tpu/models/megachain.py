@@ -110,11 +110,18 @@ def run_chunk_megachain(
     refine: int = 1,
     batch_tile: int = 8,
     store_cr: bool = True,
+    chi_mask=None,
     inv_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
 ):
     """One kernel invocation of ``k_total`` iterations.
+
+    ``chi_mask`` (optional, (nfreqs,) 0/1): lean mode only — the scalar
+    chi^2 is averaged over the masked channels (e.g. unflagged ones, the
+    reference's in-painting convention: flagged-channel "chi" is
+    |model|^2 Ninv, not ~1), letting long flagged validation runs skip
+    materializing per-channel chi.
 
     Randomness, one of three forms:
       * ``chunk_key`` (+ ``sids``, production): per-chain
@@ -230,7 +237,14 @@ def run_chunk_megachain(
         )
     else:
         zero = jnp.zeros((), dtype=jnp.float32)
-        chi_mean = jnp.sum(chi, axis=(2, 3)) / (nf * nt)
+        if chi_mask is not None:
+            cm = jnp.zeros((chi.shape[2],), jnp.float32).at[:nf].set(
+                jnp.asarray(chi_mask, jnp.float32))
+            chi_mean = jnp.sum(
+                chi * cm[None, None, :, None], axis=(2, 3)
+            ) / (jnp.sum(cm) * nt)
+        else:
+            chi_mean = jnp.sum(chi, axis=(2, 3)) / (nf * nt)
         sample = RGibbsSample(
             signal_cr=C(zero, zero), ps=ps_out,
             fg_amps=C(zero, zero), chisq=chi_mean, ln_post=ln_post,
@@ -251,6 +265,7 @@ def run_chain_megachain(
     inkernel_rng: Optional[bool] = None,
     tables: Optional[MegaChainTables] = None,
     store_cr: bool = True,
+    chi_mask=None,
     refine: int = 1,
     batch_tile: int = 8,
     chunk: Optional[int] = None,
@@ -280,7 +295,7 @@ def run_chain_megachain(
             mops, tables, dims, ps, k_total, prior_static,
             chunk_key=jax.random.fold_in(key, ci), sids=sids, mesh=mesh,
             inkernel_rng=inkernel_rng, refine=refine, batch_tile=batch_tile,
-            store_cr=store_cr, inv_passes=inv_passes,
+            store_cr=store_cr, chi_mask=chi_mask, inv_passes=inv_passes,
             warm_ns=warm_ns, drift_max=drift_max,
         )
         pieces.append(sample)

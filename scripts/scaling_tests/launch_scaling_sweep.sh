@@ -36,13 +36,27 @@ run_args=(
   --write_Niter "$NITER"
 )
 
+# CPUS_PER_PROC: pin each process to its own core block (taskset) so a
+# localhost sweep emulates the reference's 1-CPU-per-rank fixture
+# (jobscript.sh.template:9) instead of letting every process's XLA thread
+# pool fight over all cores — without pinning, localhost "scaling" numbers
+# are meaningless.
+CPUS_PER_PROC=${CPUS_PER_PROC:-0}
+
 for n in $COUNTS; do
   out="$OUT_DIR/n$n"
   mkdir -p "$out"
   echo "=== sweep point: $n process(es) ==="
   pids=()
   for ((p = 0; p < n; p++)); do
+    pin=()
+    if [ "$CPUS_PER_PROC" -gt 0 ]; then
+      lo=$((p * CPUS_PER_PROC))
+      hi=$((lo + CPUS_PER_PROC - 1))
+      pin=(taskset -c "$lo-$hi")
+    fi
     env PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
+      "${pin[@]}" \
       python -m hydra_pspec_tpu.cli.run "${run_args[@]}" \
       --out_dir "$out" --dirname res --clobber \
       --num_processes "$n" --process_id "$p" \

@@ -106,33 +106,41 @@ def main():
         mops1, dims = mega.from_chain_operators(ops1)
         mops_b = mega.broadcast_mega_operators(mops1, args.nchains)
         ps_pad = mega.pad_ps(ps_b, dims)
-        # flagged runs need per-channel chi to assess only unflagged
-        # channels (flagged-channel chi is |in-painted model|^2 Ninv by
-        # the reference's convention, pspec.py:447-452 — huge, not ~1)
-        store_cr = bool(args.flag_channels)
+        # flagged runs assess chi on unflagged channels only (flagged-
+        # channel "chi" is |in-painted model|^2 Ninv by the reference's
+        # convention, pspec.py:447-452 — huge, not ~1); the lean path does
+        # the masked reduction on device so arbitrarily long chains never
+        # materialize per-channel chi
+        chi_mask = (jnp.asarray(w, jnp.float32)
+                    if args.flag_channels else None)
         if args.engine == "megachain":
             _, samples = megachain.run_chain_megachain(
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior,
-                args.niter, store_cr=store_cr, warm_ns=args.warm_ns,
-                drift_max=args.drift_max)
+                args.niter, store_cr=False, chi_mask=chi_mask,
+                warm_ns=args.warm_ns, drift_max=args.drift_max)
         else:
             prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32)
             prior_pad = prior_pad.at[:, :nfreqs].set(prior_j)
             _, samples = mega.run_chain_mega_jit(
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior_pad,
-                args.niter, store_cr=store_cr, prior_idx=prior_idx)
+                args.niter, store_cr=False, prior_idx=prior_idx,
+                chi_mask=chi_mask)
         ps = np.asarray(samples.ps)      # (niter, nchains, nfreqs)
         chisq = np.asarray(samples.chisq)
-        if store_cr:                     # (niter, nchains, nt, nf)
-            chisq = chisq[:, :, :, unflagged].mean(axis=(2, 3))
         lnp = np.asarray(samples.ln_post)
     else:
+        # flagged runs need per-channel chi (store_cr=True) to assess only
+        # unflagged channels — same convention as the mega branch above
+        store_cr = bool(args.flag_channels)
         _, samples = rgibbs.run_chain_jit(
             jax.random.key(7123689), ops_b, ps_b, prior_j, args.niter,
-            False, 0.0, False, prior_idx, args.solver, True,
+            False, 0.0, store_cr, prior_idx, args.solver,
+            not args.flag_channels,
         )
         ps = np.asarray(samples.ps)          # (niter, nchains, nfreqs)
-        chisq = np.asarray(samples.chisq)    # (niter, nchains)
+        chisq = np.asarray(samples.chisq)
+        if store_cr:                         # (niter, nchains, nt, nf)
+            chisq = chisq[:, :, :, unflagged].mean(axis=(2, 3))
         lnp = np.asarray(samples.ln_post)
     wall = time.perf_counter() - t0
 

@@ -196,6 +196,37 @@ def test_runner_megachain_engine(tmp_path):
     assert dps.shape == (niter, nfreqs)
 
 
+def test_megachain_lean_chi_mask_matches_store_cr_filtering():
+    """Lean-mode masked chi reduction (used by long flagged validation
+    runs) equals the per-channel chi filtered on the host."""
+    ntimes, nfreqs, nmodes = 10, 16, 2
+    d = crandn(ntimes, nfreqs) * 2.0
+    w = np.ones(nfreqs)
+    w[3] = 0.0
+    w[9:11] = 0.0
+    fg = crandn(nfreqs, nmodes)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    mops, dims = mega.build_mega_operators(d, w, fg, ninv)
+    B, K = 2, 3
+    mops_b = mega.broadcast_mega_operators(mops, B)
+    ps0 = mega.pad_ps(jnp.full((B, nfreqs), 5.0), dims)
+    tables = megachain.make_chain_tables(mops_b)
+    rnd = draw_randomness(K, B, dims, dims.ntimes - 1)
+
+    _, full = megachain.run_chunk_megachain(
+        mops_b, tables, dims, ps0, K, (),
+        randomness=rnd, batch_tile=2, store_cr=True)
+    _, lean = megachain.run_chunk_megachain(
+        mops_b, tables, dims, ps0, K, (),
+        randomness=rnd, batch_tile=2, store_cr=False,
+        chi_mask=jnp.asarray(w, jnp.float32))
+    unflagged = w.astype(bool)
+    # full chisq: (K, B, nt, nf) — average over times x unflagged channels
+    ref = np.asarray(full.chisq)[:, :, :, unflagged].mean(axis=(2, 3))
+    np.testing.assert_allclose(np.asarray(lean.chisq), ref,
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_megachain_chunked_driver_statistics():
     """Full driver path with external-style statistics: run a chain on
     self-consistent data through run_chunk_megachain and check chi^2."""
