@@ -115,7 +115,7 @@ def _write_inputs(tmp):
     return fp, [f"{a}-{b}" for a, b in pairs]
 
 
-def _argv(fp, out_dir, niter=4, resume=False):
+def _argv(fp, out_dir, niter=4, resume=False, engine="megachain"):
     args = [
         str(fp),
         "--out_dir", str(out_dir),
@@ -124,14 +124,14 @@ def _argv(fp, out_dir, niter=4, resume=False):
         "--write_Niter", "2",
         "--seed", "7",
         "--Nfgmodes", "2",
-        "--engine", "megachain",
+        "--engine", engine,
     ]
     if resume:
         args.append("--resume")
     return args
 
 
-def _run_two_procs(fp, out_dir, niter=4, resume=False):
+def _run_two_procs(fp, out_dir, niter=4, resume=False, engine="megachain"):
     port = _free_port()
     env = dict(
         os.environ,
@@ -144,7 +144,7 @@ def _run_two_procs(fp, out_dir, niter=4, resume=False):
     for pid in range(2):
         cmd = [
             sys.executable, "-m", "hydra_pspec_tpu.cli.run",
-            *_argv(fp, out_dir, niter=niter, resume=resume),
+            *_argv(fp, out_dir, niter=niter, resume=resume, engine=engine),
             "--num_processes", "2",
             "--process_id", str(pid),
             "--coordinator", f"localhost:{port}",
@@ -182,6 +182,26 @@ def test_megachain_two_process_matches_single_process(tmp_path):
             a = np.load(multi_out / "res" / bl / name)
             b = np.load(single_out / "res" / bl / name)
             assert a.shape == b.shape, (bl, name, a.shape, b.shape)
+            np.testing.assert_array_equal(a, b, err_msg=f"{bl}/{name}")
+
+
+def test_mega_engine_two_process_matches_single_process(tmp_path):
+    """Fallback engine (mega, used for features outside the megachain
+    kernel): also per-sid keyed, also bit-identical under 2 processes."""
+    fp, bl_strs = _write_inputs(tmp_path)
+
+    from hydra_pspec_tpu.cli.run import main
+
+    single_out = tmp_path / "single"
+    assert main(_argv(fp, single_out, engine="mega")) == 0
+
+    multi_out = tmp_path / "multi"
+    _run_two_procs(fp, multi_out, engine="mega")
+
+    for bl in bl_strs:
+        for name in FILES:
+            a = np.load(multi_out / "res" / bl / name)
+            b = np.load(single_out / "res" / bl / name)
             np.testing.assert_array_equal(a, b, err_msg=f"{bl}/{name}")
 
 
