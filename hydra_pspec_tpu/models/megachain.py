@@ -114,6 +114,7 @@ def run_chunk_megachain(
     inv_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
+    prefetch_rng: bool = True,
 ):
     """One kernel invocation of ``k_total`` iterations.
 
@@ -154,7 +155,7 @@ def run_chunk_megachain(
         prior_static=tuple(prior_static), batch_tile=batch_tile,
         refine=refine, all_unflagged=dims.all_unflagged,
         inkernel_rng=inkernel_rng, inv_passes=inv_passes,
-        warm_ns=warm_ns, drift_max=drift_max,
+        warm_ns=warm_ns, drift_max=drift_max, prefetch_rng=prefetch_rng,
     )
     batched_ops = (
         mops.pt_re, mops.pt_im, mops.nih,
@@ -272,6 +273,7 @@ def run_chain_megachain(
     inv_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
+    prefetch_rng: bool = True,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
     min(niter, 100)); per-chain randomness streams keyed on
@@ -296,7 +298,7 @@ def run_chain_megachain(
             chunk_key=jax.random.fold_in(key, ci), sids=sids, mesh=mesh,
             inkernel_rng=inkernel_rng, refine=refine, batch_tile=batch_tile,
             store_cr=store_cr, chi_mask=chi_mask, inv_passes=inv_passes,
-            warm_ns=warm_ns, drift_max=drift_max,
+            warm_ns=warm_ns, drift_max=drift_max, prefetch_rng=prefetch_rng,
         )
         pieces.append(sample)
         it += k_total

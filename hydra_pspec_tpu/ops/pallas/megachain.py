@@ -149,8 +149,9 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       all_unflagged: bool, inkernel_rng: bool,
                       k_total: int, alpha_int: int, prior_static,
                       inv_passes: int, warm_ns: int, drift_max: float,
-                      *refs):
-    nscr = 6 + (1 if warm_ns > 0 else 0)
+                      prefetch_rng: bool, *refs):
+    nscr = 6 + (1 if warm_ns > 0 else 0) \
+        + (6 if (inkernel_rng and prefetch_rng) else 0)
     if inkernel_rng:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -169,7 +170,13 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                                                   len(refs) - nscr]
     scratches = refs[len(refs) - nscr:]
     (e_s, w_s, inv_s, x_s, ps_s, psx_s) = scratches[:6]
-    tmp_s = scratches[6] if warm_ns > 0 else None
+    off = 6
+    tmp_s = None
+    if warm_ns > 0:
+        tmp_s = scratches[off]
+        off += 1
+    rng_s = scratches[off:off + 6] if (inkernel_rng and prefetch_rng) \
+        else None
     bt, n, _ = pt_re.shape
     t = nid_re.shape[2]
     fdt = pt_re.dtype
@@ -188,63 +195,97 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
         a_pad = -(-alpha_int // 8) * 8
         td = min(t, -(-ntimes_true // 128) * 128)
-        # Per-chain streams: each chain's randomness is a fixed-shape draw
-        # sequence from a PRNG seeded on (run seed, global chain stream id,
-        # iteration) ONLY — so mesh sharding, multi-process slot padding,
-        # and tile placement leave every real chain's samples bit-identical
-        # to a single-device run (the reference's per-process reseeding,
-        # pspec.py:186-197, attempted this and had a known bug).
-        # Two fused bit draws per chain (omega block + gamma/u block): the
-        # naive form (6+ thin draws/chain) measured 0.9 ms/iter slower.
-        ob4_l, ug_l = [], []
+
+        def draw_rand(seed_word):
+            # Per-chain streams: each chain's randomness is a fixed-shape
+            # draw sequence from a PRNG seeded on (run seed, global chain
+            # stream id, iteration) ONLY — so mesh sharding, multi-process
+            # slot padding, and tile placement leave every real chain's
+            # samples bit-identical to a single-device run (the reference's
+            # per-process reseeding, pspec.py:186-197, attempted this and
+            # had a known bug).
+            # Two fused bit draws per chain (omega block + gamma/u block):
+            # the naive form (6+ thin draws/chain) measured 0.9 ms/iter
+            # slower.
+            ob4_l, ug_l = [], []
+            for c in range(bt):
+                # sid_ref holds the FULL (1, bp) row (Mosaic requires SMEM
+                # blocks equal to the array dims); index this tile's chains
+                pltpu.prng_seed(seed_word, sid_ref[0, i * bt + c])
+                ob4_l.append(pltpu.bitcast(
+                    pltpu.prng_random_bits((1, 4, n, td)), jnp.uint32))
+                ug_l.append(pltpu.bitcast(
+                    pltpu.prng_random_bits((1, a_pad + 8, n)), jnp.uint32))
+            ob4 = jnp.concatenate(ob4_l, 0)        # (bt, 4, n, td)
+            ug = jnp.concatenate(ug_l, 0)          # (bt, a_pad + 8, n)
+            # Box-Muller over the whole tile at once (one transcendental
+            # group per bt*2*n*td values instead of per-chain slivers)
+            obr, obi = bits_to_normals(ob4[:, 0], ob4[:, 1], fdt)
+            oar, oai = bits_to_normals(ob4[:, 2], ob4[:, 3], fdt)
+
+            def padt(x):
+                if td < t:
+                    return jnp.concatenate(
+                        [x, jnp.zeros((bt, n, t - td), fdt)], axis=2)
+                return x
+
+            obr = padt(obr) * half
+            obi = padt(obi) * half
+            oar = padt(oar) * sa
+            oai = padt(oai) * sa
+            # Gamma(alpha), exact integer-alpha form -log(prod u_r), with
+            # the logs taken on GROUP PRODUCTS of 8 uniforms: same
+            # distribution (log prod == sum log), 8x fewer transcendentals.
+            # f32 underflow of an 8-product needs ~2^-126 ~ 28 sigma of the
+            # group log-sum — never happens; masked rows multiply as
+            # exact 1.
+            scale = jnp.asarray(1.0 / (1 << 24), fdt)
+            u_all = ((ug[:, :a_pad] >> 8).astype(jnp.int32).astype(fdt)
+                     * scale + jnp.asarray(2.0 ** -25, fdt))
+            rmask = (jax.lax.broadcasted_iota(jnp.int32, (1, a_pad, 1), 1)
+                     < alpha_int).astype(fdt)
+            u_m = u_all * rmask + (1.0 - rmask)
+            # group products via tile-aligned sublane split (a_pad % 8 == 0)
+            u4 = u_m.reshape(bt, a_pad // 8, 8, n)
+            prod8 = u4[:, :, 0]
+            for r in range(1, 8):
+                prod8 = prod8 * u4[:, :, r]
+            gam = -jnp.sum(jnp.log(prod8), axis=1)       # (bt, n)
+            u128 = ((ug[:, a_pad, :128] >> 8).astype(jnp.int32).astype(fdt)
+                    * scale + jnp.asarray(2.0 ** -25, fdt))
+            return obr, obi, oar, oai, gam, u128
+
         # Mosaic accepts at most 2 seed words: mix the iteration into the
         # first word with an odd multiplier (injective mod 2^32, so
         # distinct k -> distinct word; wraparound is deterministic).
-        seed_k = seed_ref[0, 0] + k * jnp.int32(-1640531527)  # 0x9E3779B9
-        for c in range(bt):
-            # sid_ref holds the FULL (1, bp) row (Mosaic requires SMEM
-            # blocks equal to the array dims); index this tile's chains
-            pltpu.prng_seed(seed_k, sid_ref[0, i * bt + c])
-            ob4_l.append(pltpu.bitcast(
-                pltpu.prng_random_bits((1, 4, n, td)), jnp.uint32))
-            ug_l.append(pltpu.bitcast(
-                pltpu.prng_random_bits((1, a_pad + 8, n)), jnp.uint32))
-        ob4 = jnp.concatenate(ob4_l, 0)        # (bt, 4, n, td)
-        ug = jnp.concatenate(ug_l, 0)          # (bt, a_pad + 8, n)
-        # Box-Muller over the whole tile at once (one transcendental group
-        # per bt*2*n*td values instead of per-chain slivers)
-        obr, obi = bits_to_normals(ob4[:, 0], ob4[:, 1], fdt)
-        oar, oai = bits_to_normals(ob4[:, 2], ob4[:, 3], fdt)
-
-        def padt(x):
-            if td < t:
-                return jnp.concatenate(
-                    [x, jnp.zeros((bt, n, t - td), fdt)], axis=2)
-            return x
-
-        obr = padt(obr) * half
-        obi = padt(obi) * half
-        oar = padt(oar) * sa
-        oai = padt(oai) * sa
-        # Gamma(alpha), exact integer-alpha form -log(prod u_r), with the
-        # logs taken on GROUP PRODUCTS of 8 uniforms: same distribution
-        # (log prod == sum log), 8x fewer transcendentals. f32 underflow
-        # of an 8-product needs ~2^-126 ~ 28 sigma of the group log-sum —
-        # never happens; masked rows multiply as exact 1.
-        scale = jnp.asarray(1.0 / (1 << 24), fdt)
-        u_all = ((ug[:, :a_pad] >> 8).astype(jnp.int32).astype(fdt) * scale
-                 + jnp.asarray(2.0 ** -25, fdt))     # (bt, a_pad, n)
-        rmask = (jax.lax.broadcasted_iota(jnp.int32, (1, a_pad, 1), 1)
-                 < alpha_int).astype(fdt)
-        u_m = u_all * rmask + (1.0 - rmask)
-        # group products via a tile-aligned sublane split (a_pad % 8 == 0)
-        u4 = u_m.reshape(bt, a_pad // 8, 8, n)
-        prod8 = u4[:, :, 0]
-        for r in range(1, 8):
-            prod8 = prod8 * u4[:, :, r]
-        gam = -jnp.sum(jnp.log(prod8), axis=1)       # (bt, n)
-        u_pb = ((ug[:, a_pad, :128] >> 8).astype(jnp.int32).astype(fdt)
-                * scale + jnp.asarray(2.0 ** -25, fdt))[:, :_P_PAD]
+        kmix = jnp.int32(-1640531527)  # 0x9E3779B9
+        if not prefetch_rng:
+            obr, obi, oar, oai, gam, u128 = draw_rand(
+                seed_ref[0, 0] + k * kmix)
+        else:
+            # Software-pipelined streams: iteration k's randomness was
+            # drawn into VMEM scratch during iteration k-1 (see the tail
+            # of this kernel), so the Box-Muller/log transcendentals (VPU)
+            # of the NEXT step are independent of THIS step's solve
+            # matmuls (MXU) and Mosaic can interleave the two pipes.
+            # Stream identity (seed, sid, k) is unchanged — outputs are
+            # bit-identical to the unpipelined form (verified on hardware).
+            @pl.when(k == 0)
+            def _():
+                a_, b_, c_, d_, e_, f_ = draw_rand(seed_ref[0, 0])
+                rng_s[0][:] = a_
+                rng_s[1][:] = b_
+                rng_s[2][:] = c_
+                rng_s[3][:] = d_
+                rng_s[4][:] = e_
+                rng_s[5][:] = f_
+            obr = rng_s[0][:]
+            obi = rng_s[1][:]
+            oar = rng_s[2][:]
+            oai = rng_s[3][:]
+            gam = rng_s[4][:]
+            u128 = rng_s[5][:]
+        u_pb = u128[:, :_P_PAD]
     else:
         oar = oa_re[0]
         oai = oa_im[0]
@@ -333,13 +374,27 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     psf_o[:] = ps_new
     ps_s[:] = ps_new
 
+    if inkernel_rng and prefetch_rng:
+        # draw iteration k+1's randomness now — independent VPU work the
+        # scheduler can overlap with this step's MXU matmuls
+        @pl.when(k + 1 < k_total)
+        def _():
+            a_, b_, c_, d_, e_, f_ = draw_rand(
+                seed_ref[0, 0] + (k + 1) * kmix)
+            rng_s[0][:] = a_
+            rng_s[1][:] = b_
+            rng_s[2][:] = c_
+            rng_s[3][:] = d_
+            rng_s[4][:] = e_
+            rng_s[5][:] = f_
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
                      "prior_static", "batch_tile", "refine",
                      "all_unflagged", "inkernel_rng", "inv_passes",
-                     "warm_ns", "drift_max"),
+                     "warm_ns", "drift_max", "prefetch_rng"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -350,7 +405,8 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
                   inkernel_rng: bool = True, inv_passes: int = 3,
-                  warm_ns: int = 0, drift_max: float = 0.25):
+                  warm_ns: int = 0, drift_max: float = 0.25,
+                  prefetch_rng: bool = False):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
 
     Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
@@ -480,11 +536,21 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     if warm_ns > 0:
         # rebuild target for the per-chain gate select
         scratch_shapes.append(pltpu.VMEM((batch_tile, n2, n2), jnp.float32))
+    if inkernel_rng and prefetch_rng:
+        # software-pipeline buffers for the next iteration's randomness
+        scratch_shapes += [
+            pltpu.VMEM((batch_tile, n, t), jnp.float32),  # omega_b re
+            pltpu.VMEM((batch_tile, n, t), jnp.float32),  # omega_b im
+            pltpu.VMEM((batch_tile, n, t), jnp.float32),  # omega_a re
+            pltpu.VMEM((batch_tile, n, t), jnp.float32),  # omega_a im
+            pltpu.VMEM((batch_tile, n), jnp.float32),     # Gamma(alpha)
+            pltpu.VMEM((batch_tile, 128), jnp.float32),   # prior uniforms
+        ]
     outs = pl.pallas_call(
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
                           alpha_int, tuple(prior_static), inv_passes,
-                          warm_ns, drift_max),
+                          warm_ns, drift_max, prefetch_rng),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,

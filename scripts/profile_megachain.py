@@ -33,6 +33,7 @@ CHUNK = int(os.environ.get("PROF_K", str(NITER)))
 INV_PASSES = int(os.environ.get("PROF_INV_PASSES", "3"))
 WARM_NS = int(os.environ.get("PROF_WARM_NS", "0"))
 DRIFT_MAX = float(os.environ.get("PROF_DRIFT", "0.25"))
+PREFETCH = os.environ.get("PROF_PREFETCH", "1") == "1"
 
 
 def main():
@@ -67,7 +68,7 @@ def main():
             jax.random.fold_in(jax.random.key(0), rep), mops_b, dims, ps_b,
             prior, NITER, store_cr=STORE_CR, refine=REFINE, batch_tile=BT,
             chunk=CHUNK, inv_passes=INV_PASSES, warm_ns=WARM_NS,
-            drift_max=DRIFT_MAX,
+            drift_max=DRIFT_MAX, prefetch_rng=PREFETCH,
         )
         chi = float(jnp.mean(samples.chisq[-5:]))
         lnp = float(jnp.sum(samples.ln_post))
