@@ -193,9 +193,14 @@ def gibbs_step_tflags_real(
     jitter: float = 0.0,
     prior_idx=None,
     solver: str = "auto",
+    sids=None,
 ):
     """Batch-first grouped step: ``ps`` is (B, Nfreqs); each group's ops
-    carry the same leading batch (chains)."""
+    carry the same leading batch of (baseline, chain) rows. Randomness is
+    keyed per row on ``sids`` (global stream ids, default arange(B)) so the
+    draws are batch-composition-invariant: batching same-flag-signature
+    baselines together yields bit-identical chains to per-baseline runs
+    (same guarantee as rgibbs.gibbs_step / the megachain kernel)."""
     from ..ops import cplx
     from ..ops.cplx import C
     from .rgibbs import RGibbsSample, _t, gcr_solve as rgcr_solve
@@ -203,8 +208,11 @@ def gibbs_step_tflags_real(
     batch = ps.shape[0]
     nfreqs = ps.shape[-1]
     ntimes_total = sum(int(g.idx.size) for g in groups)
-    k_ps = jax.random.fold_in(key, 999_983)
     dtype = groups[0].ops.d_w.dtype
+    if sids is None:
+        sids = jnp.arange(batch)
+    row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sids)
+    k_ps = jax.vmap(lambda k: jax.random.fold_in(k, 999_983))(row_keys)
 
     beta = jnp.zeros((batch, nfreqs), dtype=dtype)
     noise_term = jnp.zeros((batch,), dtype=dtype)
@@ -214,15 +222,24 @@ def gibbs_step_tflags_real(
     for g, grp in enumerate(groups):
         ops = grp.ops
         nt = int(grp.idx.size)
-        kg = jax.random.fold_in(key, g)
-        k_a, k_b = jax.random.split(kg)
         if map_estimate:
             om_a = om_b = None
         else:
+            kg = jax.vmap(
+                lambda k: jax.random.split(jax.random.fold_in(k, g))
+            )(row_keys)                              # (B, 2) keys
             scale = np.sqrt(nfreqs).astype(np.float32)
-            oa = cplx.standard_normal(k_a, (batch, nt, nfreqs), dtype=dtype)
+
+            def draw(keys):
+                return jax.vmap(
+                    lambda k: cplx.standard_normal(
+                        k, (nt, nfreqs), dtype=dtype
+                    )
+                )(keys)
+
+            oa = draw(kg[:, 0])
             om_a = C(oa.re * scale, oa.im * scale)
-            om_b = cplx.standard_normal(k_b, (batch, nt, nfreqs), dtype=dtype)
+            om_b = draw(kg[:, 1])
         signal_g, amps_g, sk_g = rgcr_solve(
             ops, ps, om_a, om_b, jitter=jitter, solver=solver
         )
@@ -242,9 +259,13 @@ def gibbs_step_tflags_real(
         )
         sig_beta_masked = sig_beta_masked + jnp.sum(skm.abs2(), axis=1)
 
-    ps_new = sample_bandpowers_from_beta(
-        k_ps, beta, ntimes_total, ps_prior, prior_idx, groups[0].ops.igt
-    )
+    # vmapped over per-row keys (the CDF table is batch-shared: alpha
+    # = Ntimes_total - 1 is a signature constant)
+    ps_new = jax.vmap(
+        lambda k, b: sample_bandpowers_from_beta(
+            k, b, ntimes_total, ps_prior, prior_idx, groups[0].ops.igt
+        )
+    )(k_ps, beta)
     sig_term = jnp.sum(
         sig_beta_masked / jnp.maximum(ps_new, jnp.finfo(dtype).tiny),
         axis=-1,
@@ -279,7 +300,7 @@ def gibbs_step_tflags_real(
 def run_chain_tflags_real(
     key, groups, ps0, ps_prior, niter: int,
     map_estimate: bool = False, jitter: float = 0.0, store_cr: bool = True,
-    prior_idx=None, solver: str = "auto",
+    prior_idx=None, solver: str = "auto", sids=None,
 ):
     """Batch-first scanned chain of the grouped real-engine step."""
     from ..ops.cplx import C
@@ -289,7 +310,7 @@ def run_chain_tflags_real(
         ps_new, s = gibbs_step_tflags_real(
             jax.random.fold_in(key, i), ps, groups, ps_prior,
             map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
-            solver=solver,
+            solver=solver, sids=sids,
         )
         if not store_cr:
             zero = jnp.zeros((), dtype=ps_new.dtype)

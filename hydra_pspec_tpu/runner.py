@@ -196,7 +196,7 @@ def run_baselines(
             jobs, ps_prior, niter, seed=seed, nchains=nchains,
             write_niter=write_niter, map_estimate=map_estimate,
             store_cr=store_cr, jitter=jitter, engine=engine, solver=solver,
-            verbose=verbose,
+            verbose=verbose, global_baseline_ids=global_baseline_ids,
         )
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
@@ -692,14 +692,145 @@ def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
     return results
 
 
+def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
+                             base_key, *, nchains, write_niter,
+                             map_estimate, store_cr, jitter, solver,
+                             verbose, global_baseline_ids=None):
+    """Real-engine tflags execution: one batched (baseline x chain) run
+    per flag signature. Within a signature the per-time-group operators
+    are stacked across rows (rgibbs.stack_chain_operators, same machinery
+    as the plain path), and randomness is keyed on global stream ids
+    sid = ib * nchains + ic — so results are bit-identical whether
+    baselines run together or one at a time (tested in
+    tests/test_tflags.py)."""
+    from .models import tflags
+
+    nbl = len(jobs)
+    # group job indices by flag signature (identical arrays => identical
+    # time-group structure and per-group channel weights)
+    sig_order, sig_members = [], {}
+    for ib, job in enumerate(jobs):
+        f = flags_of(job)
+        sig = (f.shape, f.tobytes())
+        if sig not in sig_members:
+            sig_members[sig] = []
+            sig_order.append(sig)
+        sig_members[sig].append(ib)
+
+    prior_j = jnp.asarray(prior64, dtype=jnp.float32)
+    results_by_row = {}
+    write_time = 0.0
+    t0_proc = time.perf_counter()
+    for sig in sig_order:
+        ibs = sig_members[sig]
+        meta_g = [(ib, ic) for ib in ibs for ic in range(nchains)]
+        per_bl = {
+            ib: tflags.build_grouped_operators_real(
+                jobs[ib].d, flags_of(jobs[ib]), jobs[ib].fgmodes,
+                jobs[ib].Ninv,
+            )
+            for ib in ibs
+        }
+        first = per_bl[ibs[0]]
+        groups = [
+            tflags.TimeGroupReal(
+                ops=rgibbs.stack_chain_operators(
+                    [per_bl[ib][g].ops for ib, _ in meta_g]
+                ),
+                idx=first[g].idx,
+            )
+            for g in range(len(first))
+        ]
+        nfreqs = jobs[ibs[0]].d.shape[-1]
+        gids = (list(global_baseline_ids)
+                if global_baseline_ids is not None else list(range(nbl)))
+        sids = jnp.asarray(
+            np.asarray([gids[ib] * nchains + ic for ib, ic in meta_g],
+                       dtype=np.int32))
+        ps_state = jnp.asarray(
+            np.stack([
+                _initial_ps_host(jobs[ib].S_initial, nfreqs)
+                for ib, _ in meta_g
+            ]),
+            dtype=jnp.float32,
+        )
+
+        @partial(jax.jit, static_argnames=("n",))
+        def chunk_fn(key, ps, n, _groups=groups, _sids=sids):
+            return tflags.run_chain_tflags_real(
+                key, _groups, ps, prior_j, n, map_estimate=map_estimate,
+                jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
+                solver=solver, sids=_sids,
+            )
+
+        host_chunks = []
+        done = 0
+        while done < niter:
+            n = min(write_niter, niter - done)
+            chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
+            ps_state, samples = chunk_fn(chunk_key, ps_state, n)
+            host_chunks.append(
+                _to_host(samples, "real", store_cr, 1, len(meta_g))
+            )
+            done += n
+            if verbose:
+                hc = host_chunks[-1]
+                print(f"[tflags x{len(ibs)} baselines] iter {done}/{niter}"
+                      f"  chisq={float(np.mean(hc.chisq)):.4f}")
+
+        for row, (ib, ic) in enumerate(meta_g):
+            job = jobs[ib]
+            ps, lnp, cr, fga, chi = _slice_batch(
+                host_chunks, row, 1, store_cr
+            )
+            d = (None if job.out_dir is None
+                 else _chain_dir(job.out_dir, ic, nchains))
+            if d is not None:
+                t0 = time.perf_counter()
+                hio.write_numpy_files(
+                    d,
+                    cr if cr is not None else np.zeros(0),
+                    _final_S(ps[-1], nfreqs),
+                    ps,
+                    fga if fga is not None else np.zeros(0),
+                    chi,
+                    lnp,
+                )
+                write_time += time.perf_counter() - t0
+            results_by_row[(ib, ic)] = RunResult(
+                antpair=job.antpair, chain=ic, signal_ps=ps, ln_post=lnp,
+                chisq=chi, signal_cr=cr, fg_amps=fga,
+                signal_S=_final_S(ps[-1], nfreqs), out_dir=d,
+                write_time=write_time,
+            )
+    results = [results_by_row[(ib, ic)]
+               for ib in range(nbl) for ic in range(nchains)]
+    timings = {
+        "process": time.perf_counter() - t0_proc,
+        "write": write_time,
+        "scatter": 0.0,
+        "niter": niter,
+        "start_iter": 0,
+        "batch": nbl * nchains,
+        "engine": "real",
+    }
+    return results, timings
+
+
 def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                           write_niter, map_estimate, store_cr, jitter,
-                          engine, solver, verbose):
-    """Grouped time-dependent-flags path (models/tflags.py): per-baseline
-    Python loop (group structure differs per baseline), chains batched on
-    the real engine. Correctness-tier — no mesh sharding/resume here; the
-    reference collapses time-dependent flags entirely
-    (run-hydra-pspec.py:541 FIXME)."""
+                          engine, solver, verbose,
+                          global_baseline_ids=None):
+    """Grouped time-dependent-flags path (models/tflags.py). On the real
+    (production) engine, baselines sharing a flag SIGNATURE — identical
+    (Ntimes, Nfreqs) flag arrays, hence identical time-group structure —
+    are batched into one (baseline x chain) run with per-row
+    composition-invariant PRNG streams (sids), so the replicated scaling
+    fixture and real arrays with a common RFI mask scale like the plain
+    path instead of a per-baseline Python loop. Distinct signatures run as
+    separate batched groups. The complex engine keeps the per-baseline
+    loop (x64 correctness tier). The reference collapses time-dependent
+    flags entirely (run-hydra-pspec.py:541 FIXME)."""
     from .models import tflags
 
     prior64 = np.asarray(ps_prior, dtype=np.float64)
@@ -707,70 +838,54 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
     prior_idx_j = jnp.asarray(prior_idx) if prior_idx.size else None
     base_key = jax.random.key(seed if seed is not None else 0)
 
+    def _flags_of(job):
+        return (np.asarray(job.flags_tf, dtype=bool)
+                if job.flags_tf is not None
+                else np.zeros(job.d.shape, dtype=bool))
+
+    if engine == "real":
+        return _run_tflags_real_batched(
+            jobs, _flags_of, prior64, prior_idx_j, niter, base_key,
+            nchains=nchains, write_niter=write_niter,
+            map_estimate=map_estimate, store_cr=store_cr, jitter=jitter,
+            solver=solver, verbose=verbose,
+            global_baseline_ids=global_baseline_ids,
+        )
+
     results = []
     write_time = 0.0
     t0_proc = time.perf_counter()
     for ib, job in enumerate(jobs):
         nfreqs = job.d.shape[-1]
-        flags_tf = (job.flags_tf if job.flags_tf is not None
-                    else np.zeros(job.d.shape, dtype=bool))
+        flags_tf = _flags_of(job)
         ps0 = _initial_ps_host(job.S_initial, nfreqs)
-        if engine == "real":
-            groups = tflags.build_grouped_operators_real(
-                job.d, flags_tf, job.fgmodes, job.Ninv
-            )
-            groups = [
-                g._replace(ops=rgibbs.broadcast_chain_operators(g.ops, nchains))
-                for g in groups
-            ]
-            prior_j = jnp.asarray(prior64, dtype=jnp.float32)
-            ps_state = jnp.broadcast_to(
-                jnp.asarray(ps0, dtype=jnp.float32), (nchains, nfreqs)
-            )
+        groups = tflags.build_grouped_operators(
+            job.d, flags_tf, job.fgmodes, job.Ninv
+        )
+        prior_j = jnp.asarray(prior64)
+        ps_state = jnp.broadcast_to(jnp.asarray(ps0), (nchains, nfreqs))
+        chain_keys = jnp.stack([
+            jax.random.fold_in(jax.random.fold_in(base_key, ib), ic)
+            for ic in range(nchains)
+        ])
 
-            @partial(jax.jit, static_argnames=("n",))
-            def chunk_fn(key, ps, n, _groups=groups, _prior=prior_j):
-                return tflags.run_chain_tflags_real(
-                    key, _groups, ps, _prior, n, map_estimate=map_estimate,
-                    jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
-                    solver=solver,
+        @partial(jax.jit, static_argnames=("n",))
+        def chunk_fn(keys, ps, n, _groups=groups, _prior=prior_j):
+            return jax.vmap(
+                lambda k, p: tflags.run_chain_tflags(
+                    k, _groups, p, _prior, n, map_estimate=map_estimate,
+                    jitter=jitter, store_cr=store_cr,
+                    prior_idx=prior_idx_j,
                 )
-            batch_axis = 1
-            chain_keys = None
-        else:
-            groups = tflags.build_grouped_operators(
-                job.d, flags_tf, job.fgmodes, job.Ninv
-            )
-            prior_j = jnp.asarray(prior64)
-            ps_state = jnp.broadcast_to(jnp.asarray(ps0), (nchains, nfreqs))
-            chain_keys = jnp.stack([
-                jax.random.fold_in(jax.random.fold_in(base_key, ib), ic)
-                for ic in range(nchains)
-            ])
-
-            @partial(jax.jit, static_argnames=("n",))
-            def chunk_fn(keys, ps, n, _groups=groups, _prior=prior_j):
-                return jax.vmap(
-                    lambda k, p: tflags.run_chain_tflags(
-                        k, _groups, p, _prior, n, map_estimate=map_estimate,
-                        jitter=jitter, store_cr=store_cr,
-                        prior_idx=prior_idx_j,
-                    )
-                )(keys, ps)
-            batch_axis = 0
+            )(keys, ps)
+        batch_axis = 0
 
         host_chunks = []
         done = 0
         while done < niter:
             n = min(write_niter, niter - done)
-            if engine == "real":
-                key = jax.random.fold_in(
-                    jax.random.fold_in(base_key, ib), 1_000_000 + done
-                )
-                ps_state, samples = chunk_fn(key, ps_state, n)
-            else:
-                keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(chain_keys)
-                ps_state, samples = chunk_fn(keys, ps_state, n)
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(chain_keys)
+            ps_state, samples = chunk_fn(keys, ps_state, n)
             host_chunks.append(
                 _to_host(samples, engine, store_cr, batch_axis, nchains)
             )

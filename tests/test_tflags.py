@@ -160,3 +160,76 @@ def test_grouped_chain_runs_and_inpaints():
     # in-painting: flagged cells carry signal draws
     cr = np.asarray(samples.signal_cr[-1])
     assert np.abs(cr[flags]).min() > 0
+
+
+def _mk_job(d, flags, fg, ninv, out_dir, antpair):
+    from hydra_pspec_tpu.runner import BaselineJob
+
+    return BaselineJob(
+        antpair=antpair, d=d, w=(~np.any(flags, 0)).astype(float),
+        fgmodes=fg, S_initial=np.eye(d.shape[1]), Ninv=ninv,
+        out_dir=out_dir, flags_tf=flags,
+    )
+
+
+def test_tflags_batched_composition_invariance(tmp_path):
+    """Real-engine tflags batches same-signature baselines into one run;
+    per-row stream ids must make the batched chains BIT-identical to
+    per-baseline runs, for every baseline, across mixed signatures."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    ntimes, nfreqs = 12, 16
+    fg = crandn(nfreqs, 3)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    flags_a = np.zeros((ntimes, nfreqs), dtype=bool)
+    flags_a[4:, 5] = True
+    flags_b = np.zeros((ntimes, nfreqs), dtype=bool)
+    flags_b[:3, 9] = True
+    flags_b[6:, 2] = True
+    # baselines 0 and 2 share signature A; baseline 1 has signature B
+    sigs = [flags_a, flags_b, flags_a]
+    ds = [crandn(ntimes, nfreqs) * 2 for _ in range(3)]
+    prior = np.zeros((2, nfreqs))
+    niter, seed = 6, 17
+
+    jobs = [
+        _mk_job(ds[i], sigs[i], fg, ninv, None, (0, i + 1))
+        for i in range(3)
+    ]
+    batched, timings = run_baselines(
+        jobs, prior, niter, seed=seed, nchains=2, write_niter=4,
+        engine="real", use_mesh=False,
+    )
+    assert timings["engine"] == "real"
+    assert timings["batch"] == 6
+
+    # the sids contract: per-baseline runs must preserve each baseline's
+    # GLOBAL position (sid = ib * nchains + ic) to reproduce its streams
+    # same composition re-run is fully deterministic
+    again, _ = run_baselines(
+        jobs, prior, niter, seed=seed, nchains=2, write_niter=4,
+        engine="real", use_mesh=False,
+    )
+    for a, b in zip(batched, again):
+        np.testing.assert_array_equal(a.signal_ps, b.signal_ps)
+
+    for ib in range(3):
+        solo, _ = run_baselines(
+            [jobs[ib]], prior, niter, seed=seed, nchains=2, write_niter=4,
+            engine="real", use_mesh=False,
+            global_baseline_ids=[ib],
+        )
+        for ic in range(2):
+            want = batched[ib * 2 + ic]
+            got = solo[ic]
+            # identical PRNG streams; residual diff is f32 matmul
+            # reassociation across different batch shapes (same
+            # tolerance rationale as the mesh-padding test)
+            np.testing.assert_allclose(
+                got.signal_ps, want.signal_ps, rtol=2e-3, atol=1e-4)
+            np.testing.assert_allclose(
+                got.signal_cr, want.signal_cr, rtol=2e-3, atol=1e-3)
+            np.testing.assert_allclose(
+                got.chisq, want.chisq, rtol=5e-3, atol=1e-3)
+            np.testing.assert_allclose(
+                got.ln_post, want.ln_post, rtol=2e-3)
