@@ -197,6 +197,7 @@ def run_baselines(
             write_niter=write_niter, map_estimate=map_estimate,
             store_cr=store_cr, jitter=jitter, engine=engine, solver=solver,
             verbose=verbose, global_baseline_ids=global_baseline_ids,
+            use_mesh=use_mesh, mesh_devices=mesh_devices,
         )
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
@@ -695,7 +696,8 @@ def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
 def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                              base_key, *, nchains, write_niter,
                              map_estimate, store_cr, jitter, solver,
-                             verbose, global_baseline_ids=None):
+                             verbose, global_baseline_ids=None,
+                             use_mesh=True, mesh_devices=None):
     """Real-engine tflags execution: one batched (baseline x chain) run
     per flag signature. Within a signature the per-time-group operators
     are stacked across rows (rgibbs.stack_chain_operators, same machinery
@@ -754,6 +756,41 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             ]),
             dtype=jnp.float32,
         )
+
+        # shard the signature batch over the device mesh (same pad +
+        # shard_batch contract as the plain path: dummy rows broadcast
+        # from row 0 and dropped on the host; sids keep the dummy rows'
+        # streams harmless copies of row 0's)
+        if use_mesh and len(mesh_devices or jax.devices()) > 1:
+            dev_mesh = pmesh.make_mesh(mesh_devices)
+            nsh = len(dev_mesh.devices.flat)
+            pad = pmesh.pad_batch(len(meta_g), nsh) - len(meta_g)
+            if pad:
+                def _pad(x):
+                    return jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])],
+                        axis=0)
+                groups = [
+                    g._replace(ops=jax.tree.map(
+                        _pad, g.ops._replace(f=None, igt=None)
+                    )._replace(f=g.ops.f, igt=g.ops.igt))
+                    for g in groups
+                ]
+                ps_state = _pad(ps_state)
+                sids = _pad(sids)
+            rep = pmesh.replicated_sharding(dev_mesh)
+            groups = [
+                g._replace(ops=pmesh.shard_batch(
+                    g.ops._replace(f=None, igt=None), dev_mesh
+                )._replace(
+                    f=jax.device_put(g.ops.f, rep),
+                    igt=jax.tree.map(
+                        lambda x: jax.device_put(x, rep), g.ops.igt),
+                ))
+                for g in groups
+            ]
+            ps_state = pmesh.shard_batch(ps_state, dev_mesh)
+            sids = pmesh.shard_batch(sids, dev_mesh)
 
         @partial(jax.jit, static_argnames=("n",))
         def chunk_fn(key, ps, n, _groups=groups, _sids=sids):
@@ -820,7 +857,8 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
 def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                           write_niter, map_estimate, store_cr, jitter,
                           engine, solver, verbose,
-                          global_baseline_ids=None):
+                          global_baseline_ids=None, use_mesh=True,
+                          mesh_devices=None):
     """Grouped time-dependent-flags path (models/tflags.py). On the real
     (production) engine, baselines sharing a flag SIGNATURE — identical
     (Ntimes, Nfreqs) flag arrays, hence identical time-group structure —
@@ -849,7 +887,8 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
             nchains=nchains, write_niter=write_niter,
             map_estimate=map_estimate, store_cr=store_cr, jitter=jitter,
             solver=solver, verbose=verbose,
-            global_baseline_ids=global_baseline_ids,
+            global_baseline_ids=global_baseline_ids, use_mesh=use_mesh,
+            mesh_devices=mesh_devices,
         )
 
     results = []

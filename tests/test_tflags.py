@@ -174,8 +174,9 @@ def _mk_job(d, flags, fg, ninv, out_dir, antpair):
 
 def test_tflags_batched_composition_invariance(tmp_path):
     """Real-engine tflags batches same-signature baselines into one run;
-    per-row stream ids must make the batched chains BIT-identical to
-    per-baseline runs, for every baseline, across mixed signatures."""
+    per-row stream ids must make the batched chains reproduce per-baseline
+    runs (identical PRNG streams; only f32 reassociation differs), for
+    every baseline, across mixed signatures."""
     from hydra_pspec_tpu.runner import run_baselines
 
     ntimes, nfreqs = 12, 16
@@ -233,3 +234,35 @@ def test_tflags_batched_composition_invariance(tmp_path):
                 got.chisq, want.chisq, rtol=5e-3, atol=1e-3)
             np.testing.assert_allclose(
                 got.ln_post, want.ln_post, rtol=2e-3)
+
+
+def test_tflags_batched_mesh_sharding():
+    """The batched tflags run shards rows over the device mesh (8 virtual
+    CPU devices, batch 3 baselines x 2 chains = 6 rows padded to 8) and
+    matches the unsharded run."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    ntimes, nfreqs = 12, 16
+    fg = crandn(nfreqs, 3)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    flags = np.zeros((ntimes, nfreqs), dtype=bool)
+    flags[5:, 7] = True
+    ds = [crandn(ntimes, nfreqs) * 2 for _ in range(3)]
+    prior = np.zeros((2, nfreqs))
+    jobs = [_mk_job(ds[i], flags, fg, ninv, None, (0, i + 1))
+            for i in range(3)]
+
+    meshed, t_m = run_baselines(
+        jobs, prior, 6, seed=5, nchains=2, write_niter=3,
+        engine="real", use_mesh=True,
+    )
+    plain, t_p = run_baselines(
+        jobs, prior, 6, seed=5, nchains=2, write_niter=3,
+        engine="real", use_mesh=False,
+    )
+    assert len(meshed) == len(plain) == 6
+    for a, b in zip(meshed, plain):
+        np.testing.assert_allclose(
+            a.signal_ps, b.signal_ps, rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            a.ln_post, b.ln_post, rtol=2e-3)
