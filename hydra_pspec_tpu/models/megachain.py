@@ -114,7 +114,7 @@ def run_chunk_megachain(
     inv_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
-    prefetch_rng: bool = True,
+    prefetch_rng: bool = False,
 ):
     """One kernel invocation of ``k_total`` iterations.
 
@@ -273,7 +273,7 @@ def run_chain_megachain(
     inv_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
-    prefetch_rng: bool = True,
+    prefetch_rng: bool = False,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
     min(niter, 100)); per-chain randomness streams keyed on

@@ -270,6 +270,9 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
             # matmuls (MXU) and Mosaic can interleave the two pipes.
             # Stream identity (seed, sid, k) is unchanged — outputs are
             # bit-identical to the unpipelined form (verified on hardware).
+            # MEASURED SLOWER (default off): 2.55 vs 2.15 ms/iter at the
+            # bench config — the ~16 MB/step VMEM round-trip through the
+            # double buffers costs more than the overlap recovers.
             @pl.when(k == 0)
             def _():
                 a_, b_, c_, d_, e_, f_ = draw_rand(seed_ref[0, 0])

@@ -198,6 +198,7 @@ def run_baselines(
             store_cr=store_cr, jitter=jitter, engine=engine, solver=solver,
             verbose=verbose, global_baseline_ids=global_baseline_ids,
             use_mesh=use_mesh, mesh_devices=mesh_devices,
+            run_dir=run_dir, checkpoint=checkpoint, resume=resume,
         )
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
@@ -697,7 +698,8 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                              base_key, *, nchains, write_niter,
                              map_estimate, store_cr, jitter, solver,
                              verbose, global_baseline_ids=None,
-                             use_mesh=True, mesh_devices=None):
+                             use_mesh=True, mesh_devices=None,
+                             run_dir=None, checkpoint=True, resume=False):
     """Real-engine tflags execution: one batched (baseline x chain) run
     per flag signature. Within a signature the per-time-group operators
     are stacked across rows (rgibbs.stack_chain_operators, same machinery
@@ -720,7 +722,10 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
         sig_members[sig].append(ib)
 
     prior_j = jnp.asarray(prior64, dtype=jnp.float32)
+    if run_dir is None and jobs[0].out_dir is not None:
+        run_dir = Path(jobs[0].out_dir).parent
     results_by_row = {}
+    start_iters = []
     write_time = 0.0
     t0_proc = time.perf_counter()
     for sig in sig_order:
@@ -800,40 +805,73 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                 solver=solver, sids=_sids,
             )
 
+        # --- resume (per-signature checkpoint tag: signature groups run
+        # sequentially, so each carries its own iteration cursor) --------
+        n_rows = len(meta_g)
+        start_iter = 0
+        prefix = None
+        ck_tag = f"-tf{sig_order.index(sig)}"
+        if resume and run_dir is not None:
+            ck = hio.load_checkpoint(run_dir, tag=ck_tag)
+            if ck is not None and (
+                ck["ps"].shape == (n_rows, nfreqs)
+                and ck["extra"].get("nchains", nchains) == nchains
+            ):
+                prefix = _load_prefix(
+                    jobs, meta_g, nchains, ck["iteration"], store_cr
+                )
+                if prefix is not None:
+                    start_iter = ck["iteration"]
+                    ckps = jnp.asarray(ck["ps"], dtype=ps_state.dtype)
+                    npad = ps_state.shape[0] - n_rows
+                    if npad:
+                        ckps = jnp.concatenate(
+                            [ckps,
+                             jnp.broadcast_to(
+                                 ckps[:1], (npad, nfreqs))], 0)
+                    ps_state = jax.device_put(ckps, ps_state.sharding)
+                    if verbose:
+                        print(f"[tflags] resuming group {ck_tag} from "
+                              f"iteration {start_iter}")
+        start_iters.append(start_iter)
+
         host_chunks = []
-        done = 0
+        done = start_iter
         while done < niter:
             n = min(write_niter, niter - done)
             chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
             ps_state, samples = chunk_fn(chunk_key, ps_state, n)
             host_chunks.append(
-                _to_host(samples, "real", store_cr, 1, len(meta_g))
+                _to_host(samples, "real", store_cr, 1, n_rows)
             )
             done += n
             if verbose:
                 hc = host_chunks[-1]
                 print(f"[tflags x{len(ibs)} baselines] iter {done}/{niter}"
                       f"  chisq={float(np.mean(hc.chisq)):.4f}")
+            if jobs[0].out_dir is not None:
+                t0 = time.perf_counter()
+                _flush(jobs, meta_g, host_chunks, 1, nchains, store_cr,
+                       nfreqs, prefix)
+                write_time += time.perf_counter() - t0
+                if checkpoint and run_dir is not None:
+                    ps_host = np.asarray(jax.device_get(ps_state))[:n_rows]
+                    hio.save_checkpoint(
+                        run_dir, iteration=done, ps=ps_host,
+                        key_data=jax.random.key_data(base_key),
+                        extra={"engine": "real", "nchains": nchains,
+                               "tflags": True},
+                        tag=ck_tag,
+                    )
 
         for row, (ib, ic) in enumerate(meta_g):
             job = jobs[ib]
             ps, lnp, cr, fga, chi = _slice_batch(
-                host_chunks, row, 1, store_cr
+                host_chunks, row, 1, store_cr,
+                prefix[row] if prefix else None,
             )
             d = (None if job.out_dir is None
                  else _chain_dir(job.out_dir, ic, nchains))
-            if d is not None:
-                t0 = time.perf_counter()
-                hio.write_numpy_files(
-                    d,
-                    cr if cr is not None else np.zeros(0),
-                    _final_S(ps[-1], nfreqs),
-                    ps,
-                    fga if fga is not None else np.zeros(0),
-                    chi,
-                    lnp,
-                )
-                write_time += time.perf_counter() - t0
             results_by_row[(ib, ic)] = RunResult(
                 antpair=job.antpair, chain=ic, signal_ps=ps, ln_post=lnp,
                 chisq=chi, signal_cr=cr, fg_amps=fga,
@@ -847,7 +885,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
         "write": write_time,
         "scatter": 0.0,
         "niter": niter,
-        "start_iter": 0,
+        "start_iter": min(start_iters) if start_iters else 0,
         "batch": nbl * nchains,
         "engine": "real",
     }
@@ -858,7 +896,8 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                           write_niter, map_estimate, store_cr, jitter,
                           engine, solver, verbose,
                           global_baseline_ids=None, use_mesh=True,
-                          mesh_devices=None):
+                          mesh_devices=None, run_dir=None, checkpoint=True,
+                          resume=False):
     """Grouped time-dependent-flags path (models/tflags.py). On the real
     (production) engine, baselines sharing a flag SIGNATURE — identical
     (Ntimes, Nfreqs) flag arrays, hence identical time-group structure —
@@ -888,7 +927,8 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
             map_estimate=map_estimate, store_cr=store_cr, jitter=jitter,
             solver=solver, verbose=verbose,
             global_baseline_ids=global_baseline_ids, use_mesh=use_mesh,
-            mesh_devices=mesh_devices,
+            mesh_devices=mesh_devices, run_dir=run_dir,
+            checkpoint=checkpoint, resume=resume,
         )
 
     results = []

@@ -266,3 +266,48 @@ def test_tflags_batched_mesh_sharding():
             a.signal_ps, b.signal_ps, rtol=2e-3, atol=1e-4)
         np.testing.assert_allclose(
             a.ln_post, b.ln_post, rtol=2e-3)
+
+
+def test_tflags_resume_equivalence(tmp_path):
+    """Interrupted-and-resumed tflags run ends with complete output files
+    equal to an uninterrupted run (per-signature checkpoint tags)."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    ntimes, nfreqs = 12, 16
+    fg = crandn(nfreqs, 3)
+    ninv = np.abs(RNG.standard_normal(nfreqs)) + 1.0
+    flags = np.zeros((ntimes, nfreqs), dtype=bool)
+    flags[2:, 3] = True
+    ds = [crandn(ntimes, nfreqs) * 2 for _ in range(2)]
+    prior = np.zeros((2, nfreqs))
+
+    full_dir = tmp_path / "full"
+    jobs_full = [_mk_job(ds[i], flags, fg, ninv,
+                         full_dir / f"0-{i+1}", (0, i + 1))
+                 for i in range(2)]
+    full, _ = run_baselines(
+        jobs_full, prior, 8, seed=23, nchains=2, write_niter=4,
+        engine="real", use_mesh=False,
+    )
+
+    part_dir = tmp_path / "part"
+    jobs_part = [_mk_job(ds[i], flags, fg, ninv,
+                         part_dir / f"0-{i+1}", (0, i + 1))
+                 for i in range(2)]
+    run_baselines(
+        jobs_part, prior, 4, seed=23, nchains=2, write_niter=4,
+        engine="real", use_mesh=False,
+    )
+    assert (part_dir / "checkpoint-tf0.npz").exists()
+    resumed, timings = run_baselines(
+        jobs_part, prior, 8, seed=23, nchains=2, write_niter=4,
+        engine="real", use_mesh=False, resume=True,
+    )
+    assert timings["start_iter"] == 4
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(a.signal_ps, b.signal_ps)
+        np.testing.assert_array_equal(a.chisq, b.chisq)
+    # complete files on disk after resume
+    for i in range(2):
+        sub = sorted((part_dir / f"0-{i+1}").rglob("dps-eor.npy"))
+        assert sub and all(np.load(p).shape[0] == 8 for p in sub)
