@@ -32,6 +32,11 @@ N_BASELINES = int(os.environ.get("BENCH_BASELINES", "100"))
 # steady-state throughput, not launch latency).
 N_ITER = int(os.environ.get("BENCH_ITERS", "100"))
 N_REPS = int(os.environ.get("BENCH_REPS", "5"))  # timed repetitions (median)
+# Kernel-dispatch chunk (iterations per pallas_call): matches the runner's
+# write_niter=100 production cadence; BENCH_ITERS > BENCH_CHUNK chains
+# multiple async dispatches per timed rep, amortizing the fixed ~25-30 ms
+# relay round-trip latency exactly the way a Niter=1000 production run does.
+N_CHUNK = int(os.environ.get("BENCH_CHUNK", "100"))
 CPU_CACHE = REPO / ".bench_cpu_baseline.json"
 
 
@@ -173,7 +178,7 @@ def measure_ours(problem, n_baselines=N_BASELINES, niter=N_ITER):
             ps_f, samples = megachain.run_chain_megachain(
                 jax.random.fold_in(jax.random.key(0), rep), mops_b, dims,
                 ps_b, prior, it, store_cr=True, refine=refine,
-                batch_tile=bt, chunk=it, warm_ns=warm_ns,
+                batch_tile=bt, chunk=min(it, N_CHUNK), warm_ns=warm_ns,
                 drift_max=drift_max,
             )
             chi = float(jnp.mean(samples.chisq[-5:]))

@@ -463,22 +463,23 @@ def run_baselines(
     n_chunks = 0
     t0_proc = time.perf_counter()
     done = start_iter
-    while done < niter:
-        n = min(write_niter, niter - done)
-        if engine in ("real", "mega", "megachain"):
-            chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
-            ps_b, samples = run_chunk(chunk_key, ps_b, n)
-        else:
-            chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
-            ps_b, samples = run_chunk(chunk_keys, ps_b, n)
-        host_chunks.append(_to_host(samples, engine, store_cr, batch_axis, n_real))
-        done += n
+
+    def _process_chunk(samples, ps_ck, done_ck):
+        """Fetch one chunk's samples, flush, and checkpoint AT THAT chunk's
+        state (``ps_ck``/``done_ck``) — called after the NEXT chunk has
+        already been dispatched, so the device-to-host transfer and disk
+        writes overlap with the next chunk's execution (the reference's
+        write-every-write_Niter loop is serial, pspec.py:625-638)."""
+        nonlocal n_chunks, write_time
+        host_chunks.append(
+            _to_host(samples, engine, store_cr, batch_axis, n_real))
         n_chunks += 1
         if verbose:
             hc = host_chunks[-1]
             lnp_last = np.take(hc.ln_post, -1, axis=1 - batch_axis)
             print(
-                f"iter {done}/{niter}  chisq={float(np.mean(hc.chisq)):.4f}  "
+                f"iter {done_ck}/{niter}  "
+                f"chisq={float(np.mean(hc.chisq)):.4f}  "
                 f"ln_post={float(np.mean(lnp_last)):.1f}"
             )
         t0 = time.perf_counter()
@@ -486,19 +487,19 @@ def run_baselines(
             _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr,
                    nfreqs, prefix, writer)
             # durability ordering: all sample files on disk BEFORE the
-            # checkpoint records `done`
+            # checkpoint records `done_ck`
             if writer is not None:
                 failed = writer.wait()
                 if failed:
                     raise IOError(f"{failed} async sample writes failed")
             if checkpoint and run_dir is not None and (
-                n_chunks % ckpt_every == 0 or done >= niter
+                n_chunks % ckpt_every == 0 or done_ck >= niter
             ):
-                ps_host = (pmesh.global_to_host_local(ps_b) if multiproc
-                           else np.asarray(jax.device_get(ps_b)))
+                ps_host = (pmesh.global_to_host_local(ps_ck) if multiproc
+                           else np.asarray(jax.device_get(ps_ck)))
                 hio.save_checkpoint(
                     run_dir,
-                    iteration=done,
+                    iteration=done_ck,
                     # padded engines store the true-width state
                     ps=ps_host[:n_real, :nfreqs],
                     key_data=jax.random.key_data(base_key),
@@ -507,6 +508,23 @@ def run_baselines(
                     tag=ck_tag,
                 )
         write_time += time.perf_counter() - t0
+
+    pending = None
+    while done < niter:
+        n = min(write_niter, niter - done)
+        if engine in ("real", "mega", "megachain"):
+            chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
+            ps_b, samples = run_chunk(chunk_key, ps_b, n)
+        else:
+            chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
+            ps_b, samples = run_chunk(chunk_keys, ps_b, n)
+        done += n
+        if pending is not None:
+            # previous chunk: fetched/flushed while this one executes
+            _process_chunk(*pending)
+        pending = (samples, ps_b, done)
+    if pending is not None:
+        _process_chunk(*pending)
     if writer is not None:
         writer.close()
     t_process = time.perf_counter() - t0_proc
