@@ -191,6 +191,41 @@ def build_prior(cfg: RunConfig, nfreqs: int) -> np.ndarray:
     return prior
 
 
+def _gather_per_baseline(local, jobs, n_baselines, num_processes):
+    """Gather per-baseline values (a scalar or a fixed-width 1D array per
+    baseline) from every process — the TPU-native equivalent of the
+    reference's ``comm.gather(write_timings)`` (run-hydra-pspec.py:557),
+    via ``multihost_utils.process_allgather`` over padded fixed-shape
+    buffers (ragged rank blocks pad with NaN/-1 sentinels). Returns a list
+    with one ``[(bl_str, value), ...]`` entry per rank."""
+    order = [f"{j.antpair[0]}_{j.antpair[1]}" for j in jobs]
+    vals = [np.atleast_1d(np.asarray(local[bl], dtype=np.float64))
+            for bl in order]
+    if num_processes <= 1:
+        return [list(zip(order, vals))]
+    from jax.experimental import multihost_utils
+
+    width = vals[0].size if vals else 1
+    maxn = -(-n_baselines // num_processes)  # block rule: max local count
+    ants = np.full((maxn, 2), -1, dtype=np.int64)
+    buf = np.full((maxn, width), np.nan)
+    for i, j in enumerate(jobs):
+        ants[i] = j.antpair
+        buf[i] = vals[i]
+    g_ants = np.asarray(multihost_utils.process_allgather(ants))
+    g_buf = np.asarray(multihost_utils.process_allgather(buf))
+    out = []
+    for r in range(num_processes):
+        entries = []
+        for i in range(maxn):
+            a, b = g_ants[r, i]
+            if a < 0:
+                continue
+            entries.append((f"{a}_{b}", g_buf[r, i]))
+        out.append(entries)
+    return out
+
+
 def main(argv=None):
     t_total0 = time.perf_counter()
     cfg, args = load_config(argv)
@@ -258,22 +293,42 @@ def main(argv=None):
         n_global_baselines=n_baselines,
         global_baseline_ids=global_ids,
         verbose=cfg.verbose and is_rank0,
+        profile_dir=cfg.profile_dir,
     )
     t_process = timings["process"]
     t_scatter = timings["scatter"]
 
-    # Convergence diagnostic over chains (new capability).
-    if cfg.nchains > 1 and is_rank0:
+    # Convergence diagnostic over chains (new capability): computed per
+    # local baseline, gathered to rank 0, and persisted as rhat.json so
+    # downstream tooling sees it (not just the verbose print).
+    if cfg.nchains > 1:
+        local_rhat = {}
         for ib, job in enumerate(jobs):
             chains = np.stack(
                 [r.signal_ps for r in results if r.antpair == job.antpair]
             )
             rhat = gelman_rubin(chains)
-            if cfg.verbose:
+            local_rhat[f"{job.antpair[0]}_{job.antpair[1]}"] = rhat
+            if cfg.verbose and is_rank0:
                 print(
                     f"baseline {job.antpair}: split-Rhat max "
                     f"{np.nanmax(rhat):.3f} median {np.nanmedian(rhat):.3f}"
                 )
+        all_rhat = _gather_per_baseline(
+            local_rhat, jobs, n_baselines, args.num_processes)
+        if is_rank0:
+            provenance.write_rhat_json(out_dir, all_rhat)
+
+    # Gather every rank's true per-baseline write times (the reference's
+    # comm.gather(write_timings), run-hydra-pspec.py:554-557); sum over
+    # chain dirs per baseline.
+    local_wt = {}
+    for j in jobs:
+        bl = f"{j.antpair[0]}_{j.antpair[1]}"
+        local_wt[bl] = float(sum(
+            r.write_time for r in results if r.antpair == j.antpair))
+    all_wt = _gather_per_baseline(local_wt, jobs, n_baselines,
+                                  args.num_processes)
 
     # Barrier + gather equivalent: single process group sync.
     t_barrier0 = time.perf_counter()
@@ -285,11 +340,14 @@ def main(argv=None):
 
     if is_rank0:
         t_total = time.perf_counter() - t_total0
-        write_data = [{
-            "rank": args.process_id,
-            "ant_pairs": [f"{j.antpair[0]}_{j.antpair[1]}" for j in jobs],
-            "write_times": [timings["write"] / max(len(jobs), 1)] * len(jobs),
-        }]
+        write_data = [
+            {
+                "rank": rank,
+                "ant_pairs": [bl for bl, _ in entries],
+                "write_times": [float(np.sum(v)) for _, v in entries],
+            }
+            for rank, entries in enumerate(all_wt)
+        ]
         provenance.write_timings_json(
             out_dir,
             num_ranks=args.num_processes,

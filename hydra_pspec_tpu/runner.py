@@ -60,7 +60,8 @@ class RunResult:
     fg_amps: Optional[np.ndarray]
     signal_S: np.ndarray
     out_dir: Optional[Path]
-    write_time: float = 0.0
+    write_time: float = 0.0   # THIS chain's write seconds (the reference's
+    # per-baseline write_time, pspec.py:625-638, gathered into timings.json)
 
 
 # operator-tree fields shared across the batch (replicated on the mesh)
@@ -136,6 +137,7 @@ def run_baselines(
     n_global_baselines: Optional[int] = None,
     global_baseline_ids: Optional[Sequence[int]] = None,
     verbose: bool = False,
+    profile_dir: Optional[str] = None,
 ):
     """Run Gibbs chains for every (baseline, chain) pair; returns
     ``(results, timings)`` with one :class:`RunResult` per pair.
@@ -199,6 +201,7 @@ def run_baselines(
             verbose=verbose, global_baseline_ids=global_baseline_ids,
             use_mesh=use_mesh, mesh_devices=mesh_devices,
             run_dir=run_dir, checkpoint=checkpoint, resume=resume,
+            process_id=process_id, num_processes=num_processes,
         )
     nbl = len(jobs)
     nfreqs = jobs[0].d.shape[-1]
@@ -461,6 +464,11 @@ def run_baselines(
     ckpt_every = max(1, -(-checkpoint_niter // write_niter)) \
         if checkpoint_niter > 0 else 1
     n_chunks = 0
+    # per-(baseline, chain) write seconds — the reference records the true
+    # per-baseline write time and gathers it across ranks
+    # (run-hydra-pspec.py:554-557); with the async writer, pool IO seconds
+    # are attributed to rows proportional to bytes submitted per chunk
+    row_write_sec = [0.0] * len(meta)
     t0_proc = time.perf_counter()
     done = start_iter
 
@@ -484,14 +492,22 @@ def run_baselines(
             )
         t0 = time.perf_counter()
         if jobs[0].out_dir is not None:
+            io0 = writer.write_seconds() if writer is not None else 0.0
+            row_bytes = [0] * len(meta)
             _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr,
-                   nfreqs, prefix, writer)
+                   nfreqs, prefix, writer,
+                   row_sec=row_write_sec, row_bytes=row_bytes)
             # durability ordering: all sample files on disk BEFORE the
             # checkpoint records `done_ck`
             if writer is not None:
                 failed = writer.wait()
                 if failed:
                     raise IOError(f"{failed} async sample writes failed")
+                pool_sec = writer.write_seconds() - io0
+                total_bytes = sum(row_bytes)
+                if pool_sec > 0 and total_bytes > 0:
+                    for i, b in enumerate(row_bytes):
+                        row_write_sec[i] += pool_sec * b / total_bytes
             if checkpoint and run_dir is not None and (
                 n_chunks % ckpt_every == 0 or done_ck >= niter
             ):
@@ -509,16 +525,29 @@ def run_baselines(
                 )
         write_time += time.perf_counter() - t0
 
+    # --profile_dir: capture a jax.profiler trace of ONE steady-state chunk
+    # (the second, so compilation is excluded; the first when only one
+    # chunk exists) — the SURVEY §5.1 tracing-tier equivalent.
+    n_total_chunks = max(1, -(-(niter - start_iter) // write_niter))
+    profile_chunk = None if profile_dir is None else min(1, n_total_chunks - 1)
+    chunk_idx = 0
     pending = None
     while done < niter:
         n = min(write_niter, niter - done)
+        profiling = chunk_idx == profile_chunk
+        if profiling:
+            jax.profiler.start_trace(str(profile_dir))
         if engine in ("real", "mega", "megachain"):
             chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
             ps_b, samples = run_chunk(chunk_key, ps_b, n)
         else:
             chunk_keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys_b)
             ps_b, samples = run_chunk(chunk_keys, ps_b, n)
+        if profiling:
+            jax.block_until_ready(ps_b)
+            jax.profiler.stop_trace()
         done += n
+        chunk_idx += 1
         if pending is not None:
             # previous chunk: fetched/flushed while this one executes
             _process_chunk(*pending)
@@ -531,7 +560,7 @@ def run_baselines(
 
     results = _collect(
         jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
-        write_time, prefix
+        row_write_sec, prefix
     )
     timings = {
         "process": t_process,
@@ -665,35 +694,49 @@ def _final_S(ps_last, nfreqs):
 
 
 def _flush(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
-           prefix=None, writer=None):
+           prefix=None, writer=None, row_sec=None, row_bytes=None):
+    """Write every row's sample files. ``row_sec``/``row_bytes`` (optional
+    lists of len(meta)) accumulate per-row host write seconds and bytes
+    submitted — the per-baseline write accounting the reference gathers
+    into timings.json (run-hydra-pspec.py:554-557); with the async writer
+    the pool's IO seconds are attributed afterwards by the caller
+    (proportional to bytes)."""
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
         if job.out_dir is None:
             continue
+        t0 = time.perf_counter()
         ps, lnp, cr, fga, chi = _slice_batch(
             host_chunks, bidx, batch_axis, store_cr,
             prefix[bidx] if prefix else None)
         d = _chain_dir(job.out_dir, ic, nchains)
-        hio.write_numpy_files(
-            d,
+        arrays = (
             cr if cr is not None else np.zeros(0),
             _final_S(ps[-1], nfreqs),
             ps,
             fga if fga is not None else np.zeros(0),
             chi,
             lnp,
-            writer=writer,
         )
+        hio.write_numpy_files(d, *arrays, writer=writer)
+        if row_sec is not None:
+            row_sec[bidx] += time.perf_counter() - t0
+        if row_bytes is not None:
+            row_bytes[bidx] += sum(np.asarray(a).nbytes for a in arrays)
 
 
 def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
-             write_time, prefix=None):
+             row_write_sec, prefix=None):
+    """``row_write_sec``: per-(baseline, chain) write seconds (list aligned
+    with ``meta``) or a scalar applied to every row."""
     results = []
     for bidx, (ib, ic) in enumerate(meta):
         job = jobs[ib]
         ps, lnp, cr, fga, chi = _slice_batch(
             host_chunks, bidx, batch_axis, store_cr,
             prefix[bidx] if prefix else None)
+        wt = (row_write_sec[bidx] if isinstance(row_write_sec, (list, tuple))
+              else row_write_sec)
         results.append(
             RunResult(
                 antpair=job.antpair,
@@ -706,7 +749,7 @@ def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
                 signal_S=_final_S(ps[-1], nfreqs),
                 out_dir=None if job.out_dir is None
                 else _chain_dir(job.out_dir, ic, nchains),
-                write_time=write_time,
+                write_time=wt,
             )
         )
     return results
@@ -717,16 +760,27 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                              map_estimate, store_cr, jitter, solver,
                              verbose, global_baseline_ids=None,
                              use_mesh=True, mesh_devices=None,
-                             run_dir=None, checkpoint=True, resume=False):
+                             run_dir=None, checkpoint=True, resume=False,
+                             process_id=0, num_processes=1):
     """Real-engine tflags execution: one batched (baseline x chain) run
     per flag signature. Within a signature the per-time-group operators
     are stacked across rows (rgibbs.stack_chain_operators, same machinery
     as the plain path), and randomness is keyed on global stream ids
     sid = ib * nchains + ic — so results are bit-identical whether
     baselines run together or one at a time (tested in
-    tests/test_tflags.py)."""
+    tests/test_tflags.py).
+
+    Multi-process runs execute each process's local block on its LOCAL
+    devices only: tflags signature groups can differ per process, so a
+    global mesh would desynchronize the SPMD program across processes.
+    Baselines are independent and streams are keyed on global ids, so
+    per-host local execution is bit-identical to a single-process run
+    (tested in tests/test_multihost.py::test_tflags_two_process)."""
     from .models import tflags
 
+    if num_processes > 1:
+        # process-local compute: each host's block on its own devices
+        mesh_devices = jax.local_devices()
     nbl = len(jobs)
     # group job indices by flag signature (identical arrays => identical
     # time-group structure and per-group channel weights)
@@ -828,7 +882,8 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
         n_rows = len(meta_g)
         start_iter = 0
         prefix = None
-        ck_tag = f"-tf{sig_order.index(sig)}"
+        ck_tag = (f"-tf{sig_order.index(sig)}"
+                  + (f"-p{process_id}" if num_processes > 1 else ""))
         if resume and run_dir is not None:
             ck = hio.load_checkpoint(run_dir, tag=ck_tag)
             if ck is not None and (
@@ -854,6 +909,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
         start_iters.append(start_iter)
 
         host_chunks = []
+        row_write_sec = [0.0] * len(meta_g)
         done = start_iter
         while done < niter:
             n = min(write_niter, niter - done)
@@ -870,10 +926,10 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             if jobs[0].out_dir is not None:
                 t0 = time.perf_counter()
                 _flush(jobs, meta_g, host_chunks, 1, nchains, store_cr,
-                       nfreqs, prefix)
+                       nfreqs, prefix, row_sec=row_write_sec)
                 write_time += time.perf_counter() - t0
                 if checkpoint and run_dir is not None:
-                    ps_host = np.asarray(jax.device_get(ps_state))[:n_rows]
+                    ps_host = _host(ps_state, 0)[:n_rows]
                     hio.save_checkpoint(
                         run_dir, iteration=done, ps=ps_host,
                         key_data=jax.random.key_data(base_key),
@@ -894,7 +950,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                 antpair=job.antpair, chain=ic, signal_ps=ps, ln_post=lnp,
                 chisq=chi, signal_cr=cr, fg_amps=fga,
                 signal_S=_final_S(ps[-1], nfreqs), out_dir=d,
-                write_time=write_time,
+                write_time=row_write_sec[row],
             )
     results = [results_by_row[(ib, ic)]
                for ib in range(nbl) for ic in range(nchains)]
@@ -915,7 +971,7 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                           engine, solver, verbose,
                           global_baseline_ids=None, use_mesh=True,
                           mesh_devices=None, run_dir=None, checkpoint=True,
-                          resume=False):
+                          resume=False, process_id=0, num_processes=1):
     """Grouped time-dependent-flags path (models/tflags.py). On the real
     (production) engine, baselines sharing a flag SIGNATURE — identical
     (Ntimes, Nfreqs) flag arrays, hence identical time-group structure —
@@ -947,6 +1003,13 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
             global_baseline_ids=global_baseline_ids, use_mesh=use_mesh,
             mesh_devices=mesh_devices, run_dir=run_dir,
             checkpoint=checkpoint, resume=resume,
+            process_id=process_id, num_processes=num_processes,
+        )
+    if num_processes > 1:
+        raise NotImplementedError(
+            "time_flags with num_processes > 1 runs on the real engine "
+            "(per-host local execution); the complex x64 parity engine is "
+            "single-process only"
         )
 
     results = []

@@ -60,6 +60,9 @@ class RunConfig:
     solver: str = "auto"      # "auto" | "pallas" | "chol" | "recinv"
     warm_ns: int = 3          # megachain: Newton-Schulz inverse-refresh steps
     drift_max: float = 0.6    # megachain: max rel. ps move for warm start
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of one
+                              # sampling chunk into this directory (the
+                              # SURVEY §5.1 tracing-tier equivalent)
 
     @classmethod
     def from_yaml(cls, path, **overrides):

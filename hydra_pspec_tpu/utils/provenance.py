@@ -67,6 +67,28 @@ def write_timings_json(
     return timings
 
 
+def write_rhat_json(out_dir, per_rank_entries):
+    """Persist the split-R-hat convergence diagnostic (new capability —
+    the reference has no convergence diagnostics, SURVEY.md §5.5) as
+    ``rhat.json``: one record per baseline with max / median / per-bin
+    values. ``per_rank_entries``: list (one per rank) of
+    ``[(bl_str, per_bin_array), ...]`` as returned by the CLI gather."""
+    import numpy as np
+
+    out = {}
+    for entries in per_rank_entries:
+        for bl, per_bin in entries:
+            arr = np.asarray(per_bin, dtype=float)
+            out[bl] = {
+                "max": float(np.nanmax(arr)),
+                "median": float(np.nanmedian(arr)),
+                "per_bin": [round(float(v), 6) for v in arr],
+            }
+    with open(Path(out_dir) / "rhat.json", "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
 def write_resources_json(out_dir):
     r = getrusage(RUSAGE_SELF)
     stats = {"ru_maxrss": r.ru_maxrss, "ru_utime": r.ru_utime, "ru_stime": r.ru_stime}

@@ -44,6 +44,22 @@ def main():
                                freq_range=args.freq_range)
         fmhz = freqs / 1e6
         freq_str = f"{fmhz.min():.3f}-{fmhz.max():.3f}MHz"
+        # Run-level metadata record with the reference's keys
+        # (calc-vis-cov-matrices.py:225-231): git / args / freqs (Hz) /
+        # lsts (hours) / uvws (one row per baseline) / bls.
+        lsts_h = np.unique(np.concatenate([bl.lsts for bl in bls])) \
+            * 12.0 / np.pi
+        meta = {
+            "git": get_git_version_info(),
+            "args": vars(args),
+            "freqs": np.asarray(freqs, dtype=float),
+            "lsts": lsts_h,
+            "uvws": np.stack([
+                bl.uvw[0] if bl.uvw.size else np.zeros(3) for bl in bls
+            ]),
+            "bls": [bl.antpair for bl in bls],
+        }
+        np.save(out / "metadata-dict.npy", meta, allow_pickle=True)
         for bl in bls:
             a, b = bl.antpair
             d = out / f"{a}-{b}"
@@ -55,14 +71,6 @@ def main():
                 order = np.argsort(-np.abs(vals))
                 np.save(d / f"evals-{freq_str}.npy", vals[order])
                 np.save(d / f"evecs-{freq_str}.npy", vecs[:, order])
-            meta = {
-                "git": get_git_version_info(),
-                "file": str(fp),
-                "antpair": [int(a), int(b)],
-                "freqs_hz": [float(freqs.min()), float(freqs.max())],
-                "ntimes": int(bl.vis.shape[0]),
-            }
-            np.save(d / "metadata-dict.npy", meta, allow_pickle=True)
             print(f"{a}-{b}: cov {cov.shape}"
                   + (" + eigenmodes" if args.eig else ""))
 

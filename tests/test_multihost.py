@@ -9,6 +9,7 @@ bit-level agreement of every baseline against a single-process run, with
 an odd baseline count (3 over 2 processes / 8 global devices) exercising
 the dummy-slot padding.
 """
+import json
 import os
 import socket
 import subprocess
@@ -103,6 +104,92 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     # provenance written once, by rank 0
     assert (multi_out / "res" / "timings.json").exists()
+
+
+def _write_tflags_inputs(tmp):
+    """Three baselines with time-DEPENDENT flags: baselines (1,2) and (1,3)
+    share one flag signature, (2,3) has another — so the two-process run
+    splits a signature group across processes AND leaves one process with a
+    signature the other lacks (the desynchronization hazard VERDICT r3
+    flagged, runner.py tflags local-device execution)."""
+    from hydra_pspec_tpu.utils import uvh5 as uv
+
+    rng = np.random.default_rng(11)
+    nt, nf = 8, 16
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    vis = {
+        p: rng.standard_normal((nt, nf)) + 1j * rng.standard_normal((nt, nf))
+        for p in pairs
+    }
+    sig_a = np.zeros((nt, nf), dtype=bool)
+    sig_a[:3, 4] = True          # channel 4 flagged in the first 3 times
+    sig_b = np.zeros((nt, nf), dtype=bool)
+    sig_b[5:, 10] = True         # channel 10 flagged in the last 3 times
+    flags = {(1, 2): sig_a, (1, 3): sig_a, (2, 3): sig_b}
+    fp = tmp / "data-tf.uvh5"
+    uv.write_uvh5(fp, vis, freqs_hz=1e8 + np.arange(nf) * 1e5,
+                  flags_by_baseline=flags)
+    return fp, [f"{a}-{b}" for a, b in pairs]
+
+
+def test_tflags_two_process(tmp_path):
+    """--time_flags under --num_processes 2 must reproduce the
+    single-process run bit-for-bit (tflags jobs execute per-host on local
+    devices with composition-invariant global stream ids)."""
+    fp, bl_strs = _write_tflags_inputs(tmp_path)
+    base = [
+        str(fp),
+        "--dirname", "res",
+        "--Niter", "4",
+        "--write_Niter", "2",
+        "--seed", "7",
+        "--Nfgmodes", "2",
+        "--time_flags",
+        "--engine", "real",
+    ]
+
+    from hydra_pspec_tpu.cli.run import main
+
+    single_out = tmp_path / "single"
+    assert main([*base, "--out_dir", str(single_out)]) == 0
+
+    port = _free_port()
+    multi_out = tmp_path / "multi"
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "hydra_pspec_tpu.cli.run",
+             *base, "--out_dir", str(multi_out),
+             "--num_processes", "2", "--process_id", str(pid),
+             "--coordinator", f"localhost:{port}"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=360) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\nstdout:{so}\nstderr:{se}"
+
+    for bl in bl_strs:
+        for name in ("dps-eor.npy", "ln-post.npy", "gcr-eor.npy", "chisq.npy"):
+            a = np.load(multi_out / "res" / bl / name)
+            b = np.load(single_out / "res" / bl / name)
+            assert a.shape == b.shape, (bl, name, a.shape, b.shape)
+            np.testing.assert_array_equal(a, b, err_msg=f"{bl}/{name}")
+
+    # per-rank write-data gather covers the tflags path too
+    tj = json.loads((multi_out / "res" / "timings.json").read_text())
+    assert [e["rank"] for e in tj["write_data"]] == [0, 1]
+    gathered = sorted(
+        bl for e in tj["write_data"] for bl in e["ant_pairs"])
+    assert gathered == sorted(b.replace("-", "_") for b in bl_strs)
 
 
 def test_padded_baseline_slots_rules():
