@@ -149,6 +149,7 @@ def run_chunk_megachain(
     B = ps_pad.shape[0]
     if sids is None:
         sids = jnp.arange(B, dtype=jnp.int32)
+    lean = not store_cr
     kwargs = dict(
         nfreqs_true=dims.nfreqs, ntimes_true=dims.ntimes,
         k_total=k_total, alpha_int=dims.ntimes - 1,
@@ -156,6 +157,7 @@ def run_chunk_megachain(
         refine=refine, all_unflagged=dims.all_unflagged,
         inkernel_rng=inkernel_rng, inv_passes=inv_passes,
         warm_ns=warm_ns, drift_max=drift_max, prefetch_rng=prefetch_rng,
+        lean=lean,
     )
     batched_ops = (
         mops.pt_re, mops.pt_im, mops.nih,
@@ -197,7 +199,7 @@ def run_chunk_megachain(
         kbspec = P(None, BATCH_AXIS)
         base_specs = (tuple(bspec for _ in batched_ops),
                       tuple(rep for _ in shared), bspec, bspec)
-        out_specs = tuple([kbspec] * 8 + [bspec])
+        out_specs = tuple([kbspec] * (4 if lean else 8) + [bspec])
         # None operands can't carry shard_map specs — bind whichever
         # randomness form is absent into the closure instead.
         if randomness is not None:
@@ -221,33 +223,34 @@ def run_chunk_megachain(
                 "mesh execution needs chunk_key or randomness (a raw "
                 "position-seeded scalar seed is not composition-invariant)")
 
-    (sig_re, sig_im, amp_re, amp_im, chi, ps_k, noise_nu, bmask,
-     ps_final) = outs
-    ln_post = _ln_post(noise_nu, bmask, ps_k, dims.nfreqs)
     nf, nt, nm = dims.nfreqs, dims.ntimes, dims.nmodes
-    ps_out = ps_k[:, :, :nf]
     if store_cr:
+        (sig_re, sig_im, amp_re, amp_im, chi, ps_k, noise_nu, bmask,
+         ps_final) = outs
+        ln_post = _ln_post(noise_nu, bmask, ps_k, nf)
         sample = RGibbsSample(
             signal_cr=C(jnp.swapaxes(sig_re[:, :, :nf, :nt], 2, 3),
                         jnp.swapaxes(sig_im[:, :, :nf, :nt], 2, 3)),
-            ps=ps_out,
+            ps=ps_k[:, :, :nf],
             fg_amps=C(jnp.swapaxes(amp_re[:, :, :nm, :nt], 2, 3),
                       jnp.swapaxes(amp_im[:, :, :nm, :nt], 2, 3)),
             chisq=jnp.swapaxes(chi[:, :, :nf, :nt], 2, 3),
             ln_post=ln_post,
         )
     else:
+        # lean kernel outputs: chi already time-reduced in VMEM
+        (chi_t, ps_k, noise_nu, bmask, ps_final) = outs
+        ln_post = _ln_post(noise_nu, bmask, ps_k, nf)
         zero = jnp.zeros((), dtype=jnp.float32)
         if chi_mask is not None:
-            cm = jnp.zeros((chi.shape[2],), jnp.float32).at[:nf].set(
-                jnp.asarray(chi_mask, jnp.float32))
+            cm = jnp.asarray(chi_mask, jnp.float32)
             chi_mean = jnp.sum(
-                chi * cm[None, None, :, None], axis=(2, 3)
+                chi_t[:, :, :nf] * cm[None, None, :], axis=2
             ) / (jnp.sum(cm) * nt)
         else:
-            chi_mean = jnp.sum(chi, axis=(2, 3)) / (nf * nt)
+            chi_mean = jnp.sum(chi_t[:, :, :nf], axis=2) / (nf * nt)
         sample = RGibbsSample(
-            signal_cr=C(zero, zero), ps=ps_out,
+            signal_cr=C(zero, zero), ps=ps_k[:, :, :nf],
             fg_amps=C(zero, zero), chisq=chi_mean, ln_post=ln_post,
         )
     return ps_final, sample

