@@ -256,6 +256,29 @@ def run_chunk_megachain(
     return ps_final, sample
 
 
+def auto_chunk(niter: int, batch: int, dims: MegaDims,
+               store_cr: bool) -> int:
+    """Iterations per Pallas program (K) when the caller doesn't pin one.
+
+    Small batches pay fixed per-dispatch costs — the ~25-30 ms remote
+    dispatch round-trip and the per-chunk exact inverse rebuild (the
+    warm-start carry resets at k=0) — so K scales up as the batch shrinks,
+    targeting a roughly constant ``batch * K`` work quantum per dispatch.
+    K is quantized to multiples of 100 (each distinct (B, K) pair is its
+    own Mosaic executable; quantizing keeps the compile set small) and
+    capped so one chunk's HBM sample outputs stay under ~1 GiB.
+    """
+    target = max(100, 6400 // max(batch, 1))    # B=4 -> 1600, B=16 -> 400
+    if store_cr:
+        n, t, m = dims.n, dims.t, dims.m
+        bytes_per = 4 * (3 * n * t + 2 * m * t + 3 * n)
+    else:
+        bytes_per = 4 * 4 * dims.n              # lean: 4 (B, n) vectors
+    cap = (1 << 30) // max(1, batch * bytes_per)
+    k = min(target, max(100, cap), 1600, max(100, niter))
+    return max(100, (k // 100) * 100)
+
+
 def run_chain_megachain(
     key,
     mops: MegaOperators,
@@ -279,7 +302,9 @@ def run_chain_megachain(
     prefetch_rng: bool = False,
 ):
     """Full chain via chunked kernel invocations (chunk defaults to
-    min(niter, 100)); per-chain randomness streams keyed on
+    :func:`auto_chunk` — batch-dependent, larger for small batches so
+    e.g. 4-chain validation runs amortize dispatch costs over K=1600
+    iterations per program); per-chain randomness streams keyed on
     (fold_in(key, chunk), sid) — in-kernel core PRNG on TPU, external
     draws elsewhere (``inkernel_rng`` overrides). ``mesh``: run sharded
     over a 1D device mesh (see run_chunk_megachain). ``tables``: pass
@@ -289,7 +314,9 @@ def run_chain_megachain(
     if tables is None:
         tables = make_chain_tables(mops)
     prior_static = prior_static_from(prior, dims)
-    chunk = min(niter, chunk or 100)
+    if chunk is None:
+        chunk = auto_chunk(niter, ps0_pad.shape[0], dims, store_cr)
+    chunk = min(niter, chunk)
     ps = ps0_pad
     pieces = []
     it = 0

@@ -1061,6 +1061,7 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
             )
             d = (None if job.out_dir is None
                  else _chain_dir(job.out_dir, ic, nchains))
+            row_write = 0.0
             if d is not None:
                 t0 = time.perf_counter()
                 hio.write_numpy_files(
@@ -1072,12 +1073,17 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                     chi,
                     lnp,
                 )
-                write_time += time.perf_counter() - t0
+                row_write = time.perf_counter() - t0
+                write_time += row_write
+            # per-result write seconds are THIS row's own delta (the
+            # reference's per-baseline write_data semantics,
+            # run-hydra-pspec.py:554-557), not the running total — the
+            # batched path's row_write_sec convention
             results.append(RunResult(
                 antpair=job.antpair, chain=ic, signal_ps=ps, ln_post=lnp,
                 chisq=chi, signal_cr=cr, fg_amps=fga,
                 signal_S=_final_S(ps[-1], nfreqs), out_dir=d,
-                write_time=write_time,
+                write_time=row_write,
             ))
     timings = {
         "process": time.perf_counter() - t0_proc,

@@ -72,6 +72,12 @@ def main():
                         "engine/flags")
     p.add_argument("--oracle", default=str(REPO / "tests" /
                                            "oracle_posterior.json"))
+    p.add_argument("--no_oracle", action="store_true",
+                   help="explicitly waive the oracle gate (e.g. a flag "
+                        "pattern with no committed oracle case); without "
+                        "this, a missing oracle case is an ERROR — the "
+                        "gate this script exists to apply must not be "
+                        "droppable by accident")
     p.add_argument("--out", default=str(REPO / "validate_posterior.json"))
     args = p.parse_args()
 
@@ -187,6 +193,14 @@ def main():
     elif args.flag_channels == oracle_art.get("flagged", {}).get(
             "flag_channels"):
         oracle_case = "flagged"
+    if oracle_case is None and not args.no_oracle:
+        sys.exit(
+            f"--flag_channels={args.flag_channels!r} matches no committed "
+            f"oracle case (flagged oracle is "
+            f"{oracle_art.get('flagged', {}).get('flag_channels')!r}); "
+            "regenerate the oracle for this pattern "
+            "(scripts/make_oracle_posterior.py) or pass --no_oracle to "
+            "waive the gate EXPLICITLY")
     cmp = None
     if oracle_case is not None:
         cmp = compare_to_oracle(np.swapaxes(post, 0, 1),
@@ -198,8 +212,12 @@ def main():
     gates = {
         "chisq": abs(chi_mean - 1.0) < 0.02,
         "rhat": rhat_max <= 1.1,
+        # None only when the caller EXPLICITLY waived it (--no_oracle);
+        # a silently missing oracle comparison is an error above
         "oracle": oracle_acceptance(cmp) if cmp is not None else None,
     }
+    if cmp is None:
+        gates["oracle_waived"] = True
     verdict = {
         "backend": jax.default_backend(),
         "engine": args.engine,

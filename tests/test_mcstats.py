@@ -34,6 +34,18 @@ def test_ess_ar1_matches_theory():
     assert 0.75 * expect < ess < 1.25 * expect, (ess, expect)
 
 
+def test_ess_antithetic_exceeds_draws():
+    """With the Stan pairing Γ_k = ρ_{2k} + ρ_{2k+1} (including ρ_0),
+    τ = -1 + 2ΣΓ is not floored at 1, so perfectly antithetic chains
+    (negative lag-1 correlation) report super-efficient ESS > N."""
+    rng = np.random.default_rng(5)
+    half = rng.standard_normal((4, 1000))
+    x = np.empty((4, 2000))
+    x[:, ::2] = half
+    x[:, 1::2] = -half
+    assert ess_geyer(x) > 4 * 2000
+
+
 def _synthetic(rng, nbins=120, nchains=4, nd=1500, bias_log=0.0):
     """Oracle stats + 'ours' draws from log-normal posteriors with per-bin
     scales; ours optionally biased by bias_log in log space."""

@@ -142,6 +142,27 @@ def test_runner_tflags_path(engine, tmp_path):
     np.testing.assert_allclose(dps, r.signal_ps)
 
 
+def test_tflags_complex_write_times_are_disjoint(tmp_path):
+    """Each RunResult.write_time on the complex tflags path is that row's
+    OWN write seconds (the reference's per-baseline write_data semantics,
+    run-hydra-pspec.py:554-557) — the per-result values sum to the
+    timings['write'] total instead of each carrying the running total."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    d, flags, fg, ninv, _ = make_problem(ntimes=12)
+    jobs = [
+        _mk_job(d, flags, fg, ninv, tmp_path / "0-1", (0, 1)),
+        _mk_job(d, flags, fg, ninv, tmp_path / "0-2", (0, 2)),
+    ]
+    results, timings = run_baselines(
+        jobs, np.zeros((2, d.shape[1])), 4, seed=3, nchains=2,
+        write_niter=4, engine="complex", use_mesh=False,
+    )
+    writes = [r.write_time for r in results]
+    assert len(writes) == 4 and all(w > 0 for w in writes)
+    assert np.isclose(sum(writes), timings["write"], rtol=1e-9)
+
+
 def test_grouped_chain_runs_and_inpaints():
     """Short grouped chain: finite outputs, chi^2 ~ 1 on unflagged cells,
     and flagged cells are in-painted (nonzero signal where w == 0)."""
