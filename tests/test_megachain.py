@@ -254,3 +254,32 @@ def test_megachain_chunked_driver_statistics():
     assert abs(chi[15:].mean() - 1.0) < 0.2, chi[15:].mean()
     assert np.isfinite(np.asarray(samples.ln_post)).all()
     assert np.abs(np.asarray(ps_f)[:, nfreqs:]).max() == 0
+
+
+def test_auto_chunk_policy():
+    """auto_chunk scales K up for small batches (dispatch amortization for
+    validation-sized runs), quantizes to multiples of 100 (compile-set
+    control: each (B, K) pair is its own Mosaic executable), caps the
+    per-chunk HBM output footprint in store_cr mode, and never exceeds
+    niter."""
+    from hydra_pspec_tpu.models.megachain import auto_chunk
+
+    dims = mega.MegaDims(
+        n=128, t=208, m=16, nfreqs=120, ntimes=203, nmodes=12,
+        all_unflagged=True)
+    # lean (store_cr=False): inverse-in-B scaling, quantized
+    assert auto_chunk(100000, 4, dims, False) == 1600
+    assert auto_chunk(100000, 16, dims, False) == 400
+    assert auto_chunk(100000, 100, dims, False) == 100
+    assert auto_chunk(100000, 400, dims, False) == 100
+    # the validation shapes divide exactly (no ragged-tail executable)
+    assert 8000 % auto_chunk(8000, 4, dims, False) == 0
+    assert 12000 % auto_chunk(12000, 16, dims, False) == 0
+    # store_cr: the ~1 GiB HBM cap binds before the B-scaling target
+    k4_store = auto_chunk(100000, 4, dims, True)
+    bytes_per = 4 * (3 * dims.n * dims.t + 2 * dims.m * dims.t + 3 * dims.n)
+    assert k4_store * 4 * bytes_per <= (1 << 30)
+    assert k4_store % 100 == 0 and k4_store >= 100
+    # short chains never get a chunk beyond niter (min applied by caller,
+    # but auto_chunk itself stays sane)
+    assert auto_chunk(100, 4, dims, False) == 100
