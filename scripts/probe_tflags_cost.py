@@ -5,11 +5,13 @@ mega/megachain to the real engine for any job carrying ``flags_tf``
 demotion costs so the decision (grouped-operator mega kernel vs "real
 engine suffices") rests on a number.
 
-Three timed configurations on the bundled test data (B identical
-baselines, nchains=1, no output writes):
-  1. plain megachain  — what plain jobs get on TPU (production auto)
-  2. plain real       — the real engine without time groups
-  3. tflags real      — 2 flag signatures x 2 time groups each, the
+Two timed configurations on the bundled test data (B identical
+baselines, nchains=1, no output writes, store_cr=False so the relay
+fetch of CR samples doesn't pollute the kernel timing; the plain
+megachain comparison point comes from bench.py's committed sweep — its
+executables are cache-warm and its numbers are the production ones):
+  1. plain real       — the real engine without time groups
+  2. tflags real      — 2 flag signatures x 2 time groups each, the
                         grouped real path (one factorization per group)
 
 Usage:  python scripts/probe_tflags_cost.py          # TPU (takes claim)
@@ -79,13 +81,15 @@ def timed(engine, with_tflags, reps=3):
     jobs = make_jobs(with_tflags)
     # compile + warm
     run_baselines(jobs, prior, NITER, seed=0, nchains=1,
-                  write_niter=NITER, engine=engine, use_mesh=False)
+                  write_niter=NITER, engine=engine, use_mesh=False,
+                  store_cr=False)
     walls = []
     for rep in range(reps):
         t0 = time.perf_counter()
         _, timings = run_baselines(jobs, prior, NITER, seed=rep + 1,
                                    nchains=1, write_niter=NITER,
-                                   engine=engine, use_mesh=False)
+                                   engine=engine, use_mesh=False,
+                                   store_cr=False)
         walls.append(time.perf_counter() - t0)
     sec = float(np.median(walls)) / NITER
     return {"ms_per_iter": round(sec * 1e3, 3),
@@ -98,22 +102,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     out = {"B": B, "niter": NITER, "backend": jax.default_backend()}
-    for name, engine, tf in (("plain_megachain", "megachain", False),
-                             ("plain_real", "real", False),
+    for name, engine, tf in (("plain_real", "real", False),
                              ("tflags_real_2sig", "auto", True)):
-        if name == "plain_megachain" and jax.default_backend() != "tpu":
-            continue
         print(f"[probe] timing {name}...", file=sys.stderr)
         out[name] = timed(engine, tf)
         print(f"[probe] {name}: {out[name]}", file=sys.stderr)
-    if "plain_real" in out and "tflags_real_2sig" in out:
-        out["tflags_over_plain_real"] = round(
-            out["tflags_real_2sig"]["ms_per_iter"]
-            / out["plain_real"]["ms_per_iter"], 2)
-    if "plain_megachain" in out and "tflags_real_2sig" in out:
-        out["tflags_over_plain_megachain"] = round(
-            out["tflags_real_2sig"]["ms_per_iter"]
-            / out["plain_megachain"]["ms_per_iter"], 2)
+    out["tflags_over_plain_real"] = round(
+        out["tflags_real_2sig"]["ms_per_iter"]
+        / out["plain_real"]["ms_per_iter"], 2)
     print(json.dumps(out))
 
 

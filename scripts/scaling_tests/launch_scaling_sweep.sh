@@ -51,7 +51,12 @@ for n in $COUNTS; do
   for ((p = 0; p < n; p++)); do
     pin=()
     if [ "$CPUS_PER_PROC" -gt 0 ]; then
-      lo=$((p * CPUS_PER_PROC))
+      # wrap around the physical cores: with n processes > cores the sweep
+      # point is OVERSUBSCRIBED (2 procs/core at n=8 on 4 cores) — label
+      # that honestly in the results; the wrap keeps each process pinned
+      # to a fixed core instead of failing on nonexistent core ids
+      ncpu=$(nproc)
+      lo=$(((p * CPUS_PER_PROC) % ncpu))
       hi=$((lo + CPUS_PER_PROC - 1))
       pin=(taskset -c "$lo-$hi")
     fi
