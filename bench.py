@@ -195,11 +195,15 @@ def measure_sweep(problem, deadline=None):
     points = {}
     skipped = []
     # priority order: saturation ceiling first, then the B=100 lean
-    # continuity point, then the small-batch (auto-K) story, then B=200
+    # continuity point, then the small-batch (auto-K) story, then B=200.
+    # All points use K=auto_chunk (>= 100 iterations per Pallas program —
+    # lean outputs are tiny, so nothing binds K at 50 any more) and time
+    # niter = 2K so the ~27 ms dispatch round-trip amortizes across
+    # chained async dispatches the way a production Niter>=1000 run does
+    # (at the r4 K=50 sizing that overhead inflated B=400 by ~10%).
     plan = []
-    for B, chunk in ((400, 50), (100, 100), (4, None), (16, None),
-                     (200, 50)):
-        k = chunk or megachain.auto_chunk(B * 1000, B, dims, False)
+    for B in (400, 100, 4, 16, 200):
+        k = megachain.auto_chunk(B * 1000, B, dims, False)
         plan.append((B, k))
     for B, k in plan:
         if deadline is not None and time.monotonic() > deadline:
@@ -207,7 +211,7 @@ def measure_sweep(problem, deadline=None):
             print(f"[bench] sweep B={B}: SKIPPED (time budget spent)",
                   file=sys.stderr)
             continue
-        niter = k  # one kernel dispatch per timed rep
+        niter = 2 * k  # two chained async dispatches per timed rep
         mops_b = mega.broadcast_mega_operators(mops1, B)
         ps_b = mega.pad_ps(jnp.broadcast_to(jnp.asarray(ps0), (B, n)), dims)
 
