@@ -60,6 +60,11 @@ def main():
     p.add_argument("--drift_max", type=float, default=0.6,
                    help="megachain only: max relative bandpower move for "
                         "which the warm start is trusted")
+    p.add_argument("--refine", type=int, default=1,
+                   help="megachain only: iterative-refinement steps after "
+                        "the inverse application (production default 1; "
+                        "0 is the candidate fast path — validate before "
+                        "trusting)")
     p.add_argument("--engine", default="real",
                    choices=["real", "mega", "megachain"],
                    help="real: single-step XLA+Pallas-solve path; "
@@ -141,7 +146,8 @@ def main():
             _, samples = megachain.run_chain_megachain(
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior,
                 args.niter, store_cr=False, chi_mask=chi_mask,
-                warm_ns=args.warm_ns, drift_max=args.drift_max)
+                warm_ns=args.warm_ns, drift_max=args.drift_max,
+                refine=args.refine)
         else:
             prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32)
             prior_pad = prior_pad.at[:, :nfreqs].set(prior_j)
@@ -226,6 +232,7 @@ def main():
            if args.flag_channels else {}),
         "niter": args.niter,
         "nchains": args.nchains,
+        **({"refine": args.refine} if args.refine != 1 else {}),
         "wall_s": round(wall, 2),
         "chisq_postburn_mean": round(chi_mean, 5),
         "ratio_median": round(float(np.median(ratio)), 4),
