@@ -112,6 +112,7 @@ def run_chunk_megachain(
     store_cr: bool = True,
     chi_mask=None,
     inv_passes: int = 3,
+    apply_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
     prefetch_rng: bool = False,
@@ -156,6 +157,7 @@ def run_chunk_megachain(
         prior_static=tuple(prior_static), batch_tile=batch_tile,
         refine=refine, all_unflagged=dims.all_unflagged,
         inkernel_rng=inkernel_rng, inv_passes=inv_passes,
+        apply_passes=apply_passes,
         warm_ns=warm_ns, drift_max=drift_max, prefetch_rng=prefetch_rng,
         lean=lean,
     )
@@ -297,6 +299,7 @@ def run_chain_megachain(
     batch_tile: int = 8,
     chunk: Optional[int] = None,
     inv_passes: int = 3,
+    apply_passes: int = 3,
     warm_ns: int = 0,
     drift_max: float = 0.25,
     prefetch_rng: bool = False,
@@ -328,6 +331,7 @@ def run_chain_megachain(
             chunk_key=jax.random.fold_in(key, ci), sids=sids, mesh=mesh,
             inkernel_rng=inkernel_rng, refine=refine, batch_tile=batch_tile,
             store_cr=store_cr, chi_mask=chi_mask, inv_passes=inv_passes,
+            apply_passes=apply_passes,
             warm_ns=warm_ns, drift_max=drift_max, prefetch_rng=prefetch_rng,
         )
         pieces.append(sample)

@@ -148,8 +148,9 @@ def _sample_bandpowers_body(beta, g, u_pb, prior_static, tlog, qrow):
 def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       all_unflagged: bool, inkernel_rng: bool,
                       k_total: int, alpha_int: int, prior_static,
-                      inv_passes: int, warm_ns: int, drift_max: float,
-                      prefetch_rng: bool, lean: bool, *refs):
+                      inv_passes: int, apply_passes: int, warm_ns: int,
+                      drift_max: float, prefetch_rng: bool, lean: bool,
+                      *refs):
     nscr = 6 + (1 if warm_ns > 0 else 0) \
         + (6 if (inkernel_rng and prefetch_rng) else 0)
     nout = 5 if lean else 9
@@ -364,7 +365,8 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         nid_re[:], nid_im[:], dw_re[:], dw_im[:], ninvf_ref[:], w_ref[:],
         fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
         a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
-        e_s, w_s, inv_s, x_s, inv_passes=inv_passes, build_inv=build_inv,
+        e_s, w_s, inv_s, x_s, inv_passes=inv_passes,
+        apply_passes=apply_passes, build_inv=build_inv,
     )
 
     # --- bandpower conditional, in-kernel --------------------------------
@@ -410,7 +412,8 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
     static_argnames=("nfreqs_true", "ntimes_true", "k_total", "alpha_int",
                      "prior_static", "batch_tile", "refine",
                      "all_unflagged", "inkernel_rng", "inv_passes",
-                     "warm_ns", "drift_max", "prefetch_rng", "lean"),
+                     "apply_passes", "warm_ns", "drift_max",
+                     "prefetch_rng", "lean"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
@@ -421,6 +424,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
                   inkernel_rng: bool = True, inv_passes: int = 3,
+                  apply_passes: int = 3,
                   warm_ns: int = 0, drift_max: float = 0.25,
                   prefetch_rng: bool = False, lean: bool = False):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
@@ -586,7 +590,8 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         functools.partial(_megachain_kernel, nfreqs_true, ntimes_true,
                           refine, all_unflagged, inkernel_rng, K,
                           alpha_int, tuple(prior_static), inv_passes,
-                          warm_ns, drift_max, prefetch_rng, lean),
+                          apply_passes, warm_ns, drift_max, prefetch_rng,
+                          lean),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,

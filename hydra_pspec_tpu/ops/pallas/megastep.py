@@ -113,7 +113,8 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
                ptr, pti, ps, nih, nidr, nidi, dwr, dwi, ninvf, wv,
                fgr, fgi, gr, gi, mir, mii, a0r, a0i, fr, fi,
                oar, oai, obr, obi, e_s, w_s, inv_s, x_s,
-               inv_passes: int = 3, build_inv=None):
+               inv_passes: int = 3, apply_passes: int = 3,
+               build_inv=None):
     """Phases 1-6 of one GCR draw + statistics on loaded VMEM values.
 
     All operands are values (already read from refs); ``e_s/w_s/inv_s/x_s``
@@ -175,13 +176,17 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
         # caller-supplied policy (e.g. megachain's drift-gated
         # Newton-Schulz warm start over the VMEM-carried inverse)
         build_inv()
-    # (1-pass bf16 inverse applications were measured wall-time-neutral —
-    # Mosaic hides these passes behind other work — so the exact 3-pass
-    # form stays for the tighter sample accuracy.)
-    x = _bmm(inv_s[:], x_s[:])
+    # apply_passes: bf16 split passes for the INVERSE APPLICATIONS only.
+    # The residual r = b - E x must stay 3-pass (it is a cancellation);
+    # the applications' error is first-order-corrected by the refinement,
+    # so 1-pass is a candidate fast path there. (r2 measured 1-pass
+    # applications wall-neutral at B=100 — hidden behind other work;
+    # re-evaluated at saturation each round, see ROADMAP.)
+    amm = _bmm if apply_passes == 3 else _bmm1
+    x = amm(inv_s[:], x_s[:])
     for _ in range(refine):
         r = x_s[:] - _bmm(e_s[:], x)
-        x = x + _bmm(inv_s[:], r)
+        x = x + amm(inv_s[:], r)
     u_re = dvc * x[:, :n, :]
     u_im = dvc * x[:, n:, :]
 

@@ -60,6 +60,10 @@ def main():
     p.add_argument("--drift_max", type=float, default=0.6,
                    help="megachain only: max relative bandpower move for "
                         "which the warm start is trusted")
+    p.add_argument("--apply_passes", type=int, default=3,
+                   help="megachain only: bf16 split passes for the "
+                        "in-kernel inverse applications (3 = exact-f32; "
+                        "1 is the candidate fast path)")
     p.add_argument("--refine", type=int, default=1,
                    help="megachain only: iterative-refinement steps after "
                         "the inverse application (production default 1; "
@@ -147,7 +151,7 @@ def main():
                 jax.random.key(7123689), mops_b, dims, ps_pad, prior,
                 args.niter, store_cr=False, chi_mask=chi_mask,
                 warm_ns=args.warm_ns, drift_max=args.drift_max,
-                refine=args.refine)
+                refine=args.refine, apply_passes=args.apply_passes)
         else:
             prior_pad = jnp.zeros((2, dims.n), dtype=jnp.float32)
             prior_pad = prior_pad.at[:, :nfreqs].set(prior_j)
@@ -233,6 +237,8 @@ def main():
         "niter": args.niter,
         "nchains": args.nchains,
         **({"refine": args.refine} if args.refine != 1 else {}),
+        **({"apply_passes": args.apply_passes}
+           if args.apply_passes != 3 else {}),
         "wall_s": round(wall, 2),
         "chisq_postburn_mean": round(chi_mean, 5),
         "ratio_median": round(float(np.median(ratio)), 4),
