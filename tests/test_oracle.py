@@ -103,27 +103,16 @@ def test_oracle_posterior_artifact_is_converged():
         assert abs(stats["chisq_postburn_mean"] - 1.0) < 0.01
 
 
-def test_production_real_engine_passes_oracle_gate():
-    """compare_to_oracle applied IN-SUITE to a production engine (VERDICT
-    r4 item 8): the real (chol) engine, 4 chains x 1600 iters on the
-    bundled EoR+FG data, must pass oracle_acceptance against the committed
-    long-run oracle posterior — the same gate scripts/validate_posterior.py
-    applies to the TPU megachain engine on hardware. ~35 s on CPU.
-
-    The split-R-hat <= 1.1 gate is NOT applied here: at this chain length
-    the delay-0 prior-window bins (ESS ~ 4) haven't mixed; the long
-    hardware runs in validate_posterior.json cover that gate. The oracle
-    z-comparison is ESS-aware, so those bins carry honest MC error.
-    """
-    import json
-
+def _run_real_engine_for_gate(flag_channels=None, niter=1600, nburn=300):
+    """Drive the real (chol) engine on the bundled EoR+FG data and return
+    (post draws (nchains, nd, nfreqs), mean chi^2 over unflagged channels,
+    split-R-hat) — shared by the unflagged and flagged in-suite oracle-gate
+    tests below."""
     import jax
     import jax.numpy as jnp
 
     from hydra_pspec_tpu.models import rgibbs
     from hydra_pspec_tpu.runner import gelman_rubin
-    from hydra_pspec_tpu.utils.mcstats import (compare_to_oracle,
-                                               oracle_acceptance)
     from hydra_pspec_tpu.utils.uvh5 import read_uvh5
 
     td = Path("/root/reference/test_data")
@@ -138,6 +127,14 @@ def test_production_real_engine_passes_oracle_gate():
     eor_cov = np.load(td / "0-1" / "eor-cov.npy")
     nfreqs = d.shape[1]
     w = np.ones(nfreqs)
+    if flag_channels:
+        for part in flag_channels.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                w[int(a): int(b) + 1] = 0
+            else:
+                w[int(part)] = 0
+    unflagged = w.astype(bool)
     ninv = 1.0 / np.diagonal(noise_cov)
     prior = np.zeros((2, nfreqs), dtype=np.float32)
     prior[0, nfreqs // 2 - 3: nfreqs // 2 + 4] = 2.0
@@ -151,21 +148,67 @@ def test_production_real_engine_passes_oracle_gate():
     ps_b = jnp.broadcast_to(jnp.asarray(ps0, jnp.float32), (4, nfreqs))
     prior_idx = jnp.asarray(np.nonzero(np.any(prior > 0, axis=0))[0])
 
-    niter, nburn = 1600, 300
+    # flagged runs need per-channel chi (store_cr) so chi^2 is assessed on
+    # unflagged channels only (the reference's in-painting convention:
+    # flagged-channel "chi" is |model|^2 Ninv, pspec.py:447-452)
+    store_cr = bool(flag_channels)
     _, s = rgibbs.run_chain_jit(
         jax.random.key(7123689), ops_b, ps_b, jnp.asarray(prior), niter,
-        False, 0.0, False, prior_idx, "chol", True)
+        False, 0.0, store_cr, prior_idx, "chol", not flag_channels)
     ps = np.asarray(s.ps)                       # (niter, nchains, nfreqs)
     post = np.swapaxes(ps[nburn:], 0, 1)        # (nchains, nd, nfreqs)
+    chisq = np.asarray(s.chisq)[nburn:]
+    chi = (chisq[:, :, :, unflagged].mean() if store_cr else chisq.mean())
+    rhat = gelman_rubin(post)
+    return post, float(chi), rhat
 
+
+def test_production_real_engine_passes_oracle_gate():
+    """compare_to_oracle applied IN-SUITE to a production engine (VERDICT
+    r4 item 8): the real (chol) engine, 4 chains x 1600 iters on the
+    bundled EoR+FG data, must pass oracle_acceptance against the committed
+    long-run oracle posterior — the same gate scripts/validate_posterior.py
+    applies to the TPU megachain engine on hardware. ~35 s on CPU.
+
+    The split-R-hat <= 1.1 gate is NOT applied here: at this chain length
+    the delay-0 prior-window bins (ESS ~ 4) haven't mixed; the long
+    hardware runs in validate_posterior.json cover that gate. The oracle
+    z-comparison is ESS-aware, so those bins carry honest MC error.
+    """
+    import json
+
+    from hydra_pspec_tpu.utils.mcstats import (compare_to_oracle,
+                                               oracle_acceptance)
+
+    post, chi, rhat = _run_real_engine_for_gate()
     art = json.loads((REPO / "tests" / "oracle_posterior.json").read_text())
     cmp = compare_to_oracle(post, art["unflagged"])
     assert oracle_acceptance(cmp), cmp
     # the engine should pass with margin, not graze the thresholds
     assert cmp["n_z_gt3"] <= 2, cmp
     assert cmp["ci_cover_frac"] >= 0.98, cmp
-    chi = np.asarray(s.chisq)[nburn:].mean()
     assert abs(chi - 1.0) < 0.02, chi
     # bulk convergence (the slow prior bins are excluded by design above)
-    rhat = gelman_rubin(post)
+    assert float(np.nanmedian(rhat)) < 1.05
+
+
+def test_production_real_engine_flagged_passes_oracle_gate():
+    """The in-painting branch under the same in-suite oracle gate: the
+    real engine with the oracle's committed RFI flag pattern (9 of 120
+    channels) against the flagged oracle case. Covers the flagged solve
+    + masked-chi convention end-to-end in CI (~60 s on CPU); the hardware
+    twin is validate_posterior.json's tpu_megachain_flagged entry."""
+    import json
+
+    from hydra_pspec_tpu.utils.mcstats import (compare_to_oracle,
+                                               oracle_acceptance)
+
+    art = json.loads((REPO / "tests" / "oracle_posterior.json").read_text())
+    flags = art["flagged"]["flag_channels"]
+    post, chi, rhat = _run_real_engine_for_gate(flag_channels=flags)
+    cmp = compare_to_oracle(post, art["flagged"])
+    assert oracle_acceptance(cmp), cmp
+    assert cmp["n_z_gt3"] <= 2, cmp
+    assert cmp["ci_cover_frac"] >= 0.98, cmp
+    assert abs(chi - 1.0) < 0.02, chi
     assert float(np.nanmedian(rhat)) < 1.05
