@@ -74,9 +74,11 @@ def _pad_np(x, shape):
     return out
 
 
-def from_chain_operators(ops: RChainOperators) -> tuple:
+def from_chain_operators(ops: RChainOperators, t_pad=None) -> tuple:
     """Convert (a batch of) rgibbs chain operators into the padded
-    transposed mega layout. Host-side, one-time."""
+    transposed mega layout. Host-side, one-time. ``t_pad``: force the
+    padded time dimension (>= the 128-rounded true count) — the grouped
+    time-flags megachain path pads every group to a common width."""
     if ops.ni_dense is not None:
         raise NotImplementedError(
             "mega path supports diagonal noise; dense Ninv uses the "
@@ -85,6 +87,10 @@ def from_chain_operators(ops: RChainOperators) -> tuple:
     m0 = ops.fg.shape[-1]
     n = -(-n0 // 128) * 128
     t = -(-T0 // 128) * 128
+    if t_pad is not None:
+        if t_pad < t:
+            raise ValueError(f"t_pad={t_pad} < required padded width {t}")
+        t = t_pad
     m = -(-m0 // 8) * 8
     dt = np.float32
 

@@ -194,13 +194,21 @@ def gibbs_step_tflags_real(
     prior_idx=None,
     solver: str = "auto",
     sids=None,
+    igt_total=None,
 ):
     """Batch-first grouped step: ``ps`` is (B, Nfreqs); each group's ops
     carry the same leading batch of (baseline, chain) rows. Randomness is
     keyed per row on ``sids`` (global stream ids, default arange(B)) so the
     draws are batch-composition-invariant: batching same-flag-signature
     baselines together yields bit-identical chains to per-baseline runs
-    (same guarantee as rgibbs.gibbs_step / the megachain kernel)."""
+    (same guarantee as rgibbs.gibbs_step / the megachain kernel).
+
+    ``igt_total``: inverse-gamma CDF table built at alpha + 1 =
+    Ntimes_TOTAL for the pooled prior-bin draws. The per-group operator
+    tables carry their GROUP's alpha and must not be used here (a latent
+    wrong-shape bug before round 5 — unexercised because every tflags
+    test ran with an empty prior); None falls back to the exact
+    gammaincc-based truncated draw at the correct pooled alpha."""
     from ..ops import cplx
     from ..ops.cplx import C
     from .rgibbs import RGibbsSample, _t, gcr_solve as rgcr_solve
@@ -263,7 +271,7 @@ def gibbs_step_tflags_real(
     # = Ntimes_total - 1 is a signature constant)
     ps_new = jax.vmap(
         lambda k, b: sample_bandpowers_from_beta(
-            k, b, ntimes_total, ps_prior, prior_idx, groups[0].ops.igt
+            k, b, ntimes_total, ps_prior, prior_idx, igt_total
         )
     )(k_ps, beta)
     sig_term = jnp.sum(
@@ -300,9 +308,10 @@ def gibbs_step_tflags_real(
 def run_chain_tflags_real(
     key, groups, ps0, ps_prior, niter: int,
     map_estimate: bool = False, jitter: float = 0.0, store_cr: bool = True,
-    prior_idx=None, solver: str = "auto", sids=None,
+    prior_idx=None, solver: str = "auto", sids=None, igt_total=None,
 ):
-    """Batch-first scanned chain of the grouped real-engine step."""
+    """Batch-first scanned chain of the grouped real-engine step.
+    ``igt_total``: pooled-alpha CDF table (see gibbs_step_tflags_real)."""
     from ..ops.cplx import C
     from .rgibbs import RGibbsSample
 
@@ -310,7 +319,7 @@ def run_chain_tflags_real(
         ps_new, s = gibbs_step_tflags_real(
             jax.random.fold_in(key, i), ps, groups, ps_prior,
             map_estimate=map_estimate, jitter=jitter, prior_idx=prior_idx,
-            solver=solver, sids=sids,
+            solver=solver, sids=sids, igt_total=igt_total,
         )
         if not store_cr:
             zero = jnp.zeros((), dtype=ps_new.dtype)

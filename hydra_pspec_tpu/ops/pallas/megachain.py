@@ -150,16 +150,34 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                       k_total: int, alpha_int: int, prior_static,
                       inv_passes: int, apply_passes: int, warm_ns: int,
                       drift_max: float, prefetch_rng: bool, lean: bool,
-                      *refs):
+                      group_times, *refs):
+    # group_times: () = plain mode (one operator set per chain). Non-empty
+    # = grouped time-flags mode: every chain occupies G = len(group_times)
+    # consecutive rows (chain-major, G | batch_tile), row r solving the
+    # (r % G)-th flag-pattern time group; group_times[g] is that group's
+    # true time count (0 = dummy pad group: zero operators, zero mask).
+    # The bandpower conditional pools beta over each chain's G rows and
+    # draws ONE chained ps per chain (alpha_int = total times - 1), which
+    # every row of the chain computes identically from identical pooled
+    # inputs (gamma/uniform streams are seeded per CHAIN, not per row).
+    G = len(group_times) if group_times else 1
     nscr = 6 + (1 if warm_ns > 0 else 0) \
         + (6 if (inkernel_rng and prefetch_rng) else 0)
     nout = 5 if lean else 9
     if inkernel_rng:
-        (pt_re, pt_im, nih_ref,
-         nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
-         fg_re, fg_im, g_re, g_im, mi_re, mi_im,
-         a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
-         seed_ref, sid_ref) = refs[: len(refs) - nout - nscr]
+        ins = refs[: len(refs) - nout - nscr]
+        if G > 1:
+            (pt_re, pt_im, nih_ref,
+             nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+             fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+             a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
+             seed_ref, sid_ref, sidc_ref) = ins
+        else:
+            (pt_re, pt_im, nih_ref,
+             nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
+             fg_re, fg_im, g_re, g_im, mi_re, mi_im,
+             a0_re, a0_im, f_re, f_im, tlog_ref, q_ref, ps0_ref,
+             seed_ref, sid_ref) = ins
     else:
         (pt_re, pt_im, nih_ref,
          nid_re, nid_im, dw_re, dw_im, ninvf_ref, w_ref,
@@ -199,11 +217,23 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
 
     ps = ps_s[:]
 
+    g_tmask = None
+    if G > 1:
+        # per-row valid-time mask: row r of the (G-aligned) tile solves
+        # time group r % G with group_times[r % G] true times
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, t), 0) % G
+        tlane = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, t), 2)
+        cnt = jnp.zeros((bt, 1, t), jnp.int32)
+        for g, tg in enumerate(group_times):
+            cnt = jnp.where(rowg == g, jnp.int32(tg), cnt)
+        g_tmask = (tlane < cnt).astype(fdt)
+
     if inkernel_rng:
         half = jnp.asarray(np.sqrt(0.5), fdt)
         sa = half * jnp.sqrt(jnp.asarray(float(nfreqs_true), fdt))
         a_pad = -(-alpha_int // 8) * 8
-        td = min(t, -(-ntimes_true // 128) * 128)
+        ntimes_draw = max(group_times) if G > 1 else ntimes_true
+        td = min(t, -(-ntimes_draw // 128) * 128)
 
         def draw_rand(seed_word):
             # Per-chain streams: each chain's randomness is a fixed-shape
@@ -223,6 +253,13 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                 pltpu.prng_seed(seed_word, sid_ref[0, i * bt + c])
                 ob4_l.append(pltpu.bitcast(
                     pltpu.prng_random_bits((1, 4, n, td)), jnp.uint32))
+                if G > 1:
+                    # gamma/uniform draws come from the CHAIN's stream
+                    # (identical for all G rows of a chain -> identical
+                    # pooled bandpower draw per row); the +2^30 offset
+                    # keeps chain streams disjoint from row streams
+                    pltpu.prng_seed(seed_word,
+                                    sidc_ref[0, i * bt + c] + (1 << 30))
                 ug_l.append(pltpu.bitcast(
                     pltpu.prng_random_bits((1, a_pad + 8, n)), jnp.uint32))
             ob4 = jnp.concatenate(ob4_l, 0)        # (bt, 4, n, td)
@@ -366,8 +403,19 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
         fg_re[:], fg_im[:], g_re[:], g_im[:], mi_re[:], mi_im[:],
         a0_re[:], a0_im[:], fr, fi, oar, oai, obr, obi,
         e_s, w_s, inv_s, x_s, inv_passes=inv_passes,
-        apply_passes=apply_passes, build_inv=build_inv,
+        apply_passes=apply_passes, build_inv=build_inv, tmask=g_tmask,
     )
+
+    if G > 1:
+        # pool beta over each chain's G consecutive rows (chain-major,
+        # G-aligned within the tile): every row then carries the chain's
+        # TOTAL delay power and the pooled conditional below reproduces
+        # the tflags semantics (models/tflags.py: beta sums over every
+        # group's sk; alpha keeps the total-times convention)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
+        pool = ((ri // G) == (ci // G)).astype(fdt)
+        beta = jnp.sum(pool[:, :, None] * beta[None, :, :], axis=1)
 
     # --- bandpower conditional, in-kernel --------------------------------
     # (gam / u_pb drawn in the per-chain streams above)
@@ -377,8 +425,11 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                                      tlog, qrow)
 
     if lean:
-        tm = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
-              < ntimes_true).astype(fdt)
+        if G > 1:
+            tm = g_tmask
+        else:
+            tm = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+                  < ntimes_true).astype(fdt)
         chit_o[0] = jnp.sum(chi * tm, axis=2)
     else:
         sig_re_o[0] = sig_re
@@ -413,20 +464,21 @@ def _megachain_kernel(nfreqs_true: int, ntimes_true: int, refine: int,
                      "prior_static", "batch_tile", "refine",
                      "all_unflagged", "inkernel_rng", "inv_passes",
                      "apply_passes", "warm_ns", "drift_max",
-                     "prefetch_rng", "lean"),
+                     "prefetch_rng", "lean", "group_times"),
 )
 def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                   ninv_full, w, fg_re, fg_im, g_re, g_im, mi_re, mi_im,
                   a0_re, a0_im, f_re, f_im, tlog8, q8, ps0,
                   oa_re=None, oa_im=None, ob_re=None, ob_im=None,
-                  gam=None, u_pb=None, seed=None, sids=None,
+                  gam=None, u_pb=None, seed=None, sids=None, sidc=None,
                   *, nfreqs_true: int, ntimes_true: int, k_total: int,
                   alpha_int: int, prior_static=(), batch_tile: int = 8,
                   refine: int = 1, all_unflagged: bool = True,
                   inkernel_rng: bool = True, inv_passes: int = 3,
                   apply_passes: int = 3,
                   warm_ns: int = 0, drift_max: float = 0.25,
-                  prefetch_rng: bool = False, lean: bool = False):
+                  prefetch_rng: bool = False, lean: bool = False,
+                  group_times=()):
     """K = ``k_total`` fused Gibbs iterations for the whole batch.
 
     Chain constants as in megastep.gcr_megastep; additionally ``tlog8/q8``
@@ -452,11 +504,36 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
     noise_nu, bmask, ps_final)`` with ``chi_t`` (K, B, n) the chi sum over
     the true time samples — the only consumer of the big fields in
     store_cr=False runs (bench saturation sweeps, long validation chains).
+
+    ``group_times`` (static, non-empty => grouped time-flags mode): each
+    chain spans ``G = len(group_times)`` consecutive batch rows, row
+    ``chain*G + g`` carrying the operators of the chain's g-th
+    flag-pattern time group (``group_times[g]`` true times; 0 marks a
+    dummy zero-operator pad group). The kernel pools beta over the
+    chain's rows and draws ONE pooled bandpower state per chain
+    (``alpha_int`` must be total-times - 1) — the tflags semantics of
+    models/tflags.py at megachain speed. Requires G | batch_tile and
+    chain-major rows; ``sidc`` gives the per-row CHAIN stream ids
+    (defaults to row // G).
     """
     B, n, _ = pt_re.shape
     t = nid_re.shape[2]
     m = fg_re.shape[2]
     K = k_total
+
+    G = len(group_times) if group_times else 1
+    if G > 1:
+        # grouped time-flags mode (see _megachain_kernel): rows are
+        # chain-major (chain, group) pairs; pooling blocks of G rows must
+        # stay aligned within every batch tile, and padding must append
+        # whole chains
+        if batch_tile % G:
+            raise ValueError(
+                f"len(group_times)={G} must divide batch_tile={batch_tile}")
+        if B % G:
+            raise ValueError(
+                f"grouped batch rows ({B}) must be a multiple of "
+                f"len(group_times)={G} (chain-major row layout)")
 
     pad_b = (-B) % batch_tile
     batched = [pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
@@ -469,6 +546,10 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         if sids is None:
             sids = jnp.arange(B, dtype=jnp.int32)
         sids = jnp.asarray(sids, dtype=jnp.int32)
+        if G > 1:
+            if sidc is None:
+                sidc = jnp.repeat(jnp.arange(B // G, dtype=jnp.int32), G)
+            sidc = jnp.asarray(sidc, dtype=jnp.int32)
     if pad_b:
         def pb(x):
             return jnp.concatenate(
@@ -477,6 +558,8 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         ps0 = pb(ps0)
         if inkernel_rng:
             sids = pb(sids)
+            if G > 1:
+                sidc = pb(sidc)
 
         def pbk(x):  # (K, B, ...) -> pad axis 1
             return jnp.concatenate(
@@ -524,6 +607,10 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
         in_specs.append(pl.BlockSpec((1, bp), lambda i, k: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(sids.reshape(1, bp))
+        if G > 1:
+            in_specs.append(pl.BlockSpec((1, bp), lambda i, k: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            operands.append(sidc.reshape(1, bp))
     else:
         in_specs += [kmat(n, t), kmat(n, t),   # omega_a (delay basis)
                      kmat(n, t), kmat(n, t),   # omega_b
@@ -591,7 +678,7 @@ def gcr_megachain(pt_re, pt_im, nih, nid_re, nid_im, dw_re, dw_im,
                           refine, all_unflagged, inkernel_rng, K,
                           alpha_int, tuple(prior_static), inv_passes,
                           apply_passes, warm_ns, drift_max, prefetch_rng,
-                          lean),
+                          lean, tuple(group_times)),
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
         in_specs=in_specs,

@@ -114,7 +114,7 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
                fgr, fgi, gr, gi, mir, mii, a0r, a0i, fr, fi,
                oar, oai, obr, obi, e_s, w_s, inv_s, x_s,
                inv_passes: int = 3, apply_passes: int = 3,
-               build_inv=None):
+               build_inv=None, tmask=None):
     """Phases 1-6 of one GCR draw + statistics on loaded VMEM values.
 
     All operands are values (already read from refs); ``e_s/w_s/inv_s/x_s``
@@ -122,14 +122,19 @@ def _draw_body(nfreqs_true: int, ntimes_true: int, refine: int,
     broadcast to (bt, n, n). Returns
     ``(sig_re, sig_im, amp_re, amp_im, chi, beta, noise_nu, bmask)``.
     Shared by the single-step kernel (``_mega_kernel``) and the
-    multi-iteration chain kernel (megachain.py)."""
+    multi-iteration chain kernel (megachain.py). ``tmask``: optional
+    precomputed (row-broadcastable) valid-time mask — the grouped
+    time-flags kernel passes a per-row (bt, 1, t) mask (rows carry
+    different group time counts); default builds the shared
+    ``ntimes_true`` mask."""
     bt, n, _ = ptr.shape
     t = nidr.shape[2]
     fdt = ptr.dtype
     # padded time columns must carry NO fluctuation draws (they'd leak into
     # beta/chisq): mask the omegas at the true time count
-    tmask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
-             < ntimes_true).astype(fdt)
+    if tmask is None:
+        tmask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+                 < ntimes_true).astype(fdt)
 
     # --- 1. rc = ni_d + nih * omega_b -------------------------------------
     nih = nih[:, :, None]

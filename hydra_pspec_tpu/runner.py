@@ -821,6 +821,13 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             for g in range(len(first))
         ]
         nfreqs = jobs[ibs[0]].d.shape[-1]
+        # pooled-conditional CDF table at alpha + 1 = TOTAL times (each
+        # group's own igt carries its group's alpha — wrong shape for the
+        # pooled prior-bin draw; see tflags.gibbs_step_tflags_real)
+        from .ops.invgamma import make_invgamma_table
+
+        igt_tot = make_invgamma_table(
+            int(sum(int(g.idx.size) for g in groups)))
         gids = (list(global_baseline_ids)
                 if global_baseline_ids is not None else list(range(nbl)))
         sids = jnp.asarray(
@@ -868,13 +875,16 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             ]
             ps_state = pmesh.shard_batch(ps_state, dev_mesh)
             sids = pmesh.shard_batch(sids, dev_mesh)
+            igt_tot = jax.tree.map(
+                lambda x: jax.device_put(x, rep), igt_tot)
 
         @partial(jax.jit, static_argnames=("n",))
-        def chunk_fn(key, ps, n, _groups=groups, _sids=sids):
+        def chunk_fn(key, ps, n, _groups=groups, _sids=sids,
+                     _igt=igt_tot):
             return tflags.run_chain_tflags_real(
                 key, _groups, ps, prior_j, n, map_estimate=map_estimate,
                 jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
-                solver=solver, sids=_sids,
+                solver=solver, sids=_sids, igt_total=_igt,
             )
 
         # --- resume (per-signature checkpoint tag: signature groups run
