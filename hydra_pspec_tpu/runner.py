@@ -80,6 +80,19 @@ def _split_ops(ops_b, engine):
     return body, shared
 
 
+def _max_tflag_groups(jobs):
+    """Largest number of distinct flag-pattern time groups over the jobs'
+    ``flags_tf`` arrays (0 when none carries time-dependent flags). The
+    grouped megachain kernel supports <= 8 groups per flag signature
+    (models/megachain.build_tflags_mega_setup pads G to a power of two)."""
+    n = 0
+    for j in jobs:
+        if j.flags_tf is not None:
+            f = np.asarray(j.flags_tf, dtype=bool)
+            n = max(n, len(np.unique(f, axis=0)))
+    return n
+
+
 def _initial_ps_host(S_initial, nfreqs):
     """ps-state from an initial covariance, host-side numpy (the TPU
     backend has no complex dtypes; see models/gibbs.initial_ps for the
@@ -175,7 +188,7 @@ def run_baselines(
         if (map_estimate
                 or n_prior_bins > megachain.MAX_PRIOR_BINS
                 or jobs[0].d.shape[0] > 1025
-                or any(j.flags_tf is not None for j in jobs)):
+                or _max_tflag_groups(jobs) > 8):
             engine = "mega"
     if engine in ("mega", "megachain") and (
         map_estimate
@@ -187,17 +200,21 @@ def run_baselines(
         # the mega kernels cover the production sampling path; MAP mode
         # and dense noise run through the general real-pair engine
         engine = "real"
-    if engine in ("mega", "megachain") and any(
+    if engine == "mega" and any(
             j.flags_tf is not None for j in jobs):
-        # the time-dependent-flags runner only distinguishes real vs
-        # complex (per-flag-pattern grouped operators); route the mega
-        # family to the real-pair groups, not the x64 complex path
+        # the single-step mega kernel has no grouped time-flags mode —
+        # route it to the real-pair grouped path. The megachain engine
+        # runs tflags jobs DIRECTLY (grouped kernel: chain-major rows per
+        # flag-pattern time group, pooled bandpower conditional — see
+        # models/megachain.TflagsMegaSetup); jobs with > 8 time groups
+        # were demoted above.
         engine = "real"
     if any(j.flags_tf is not None for j in jobs):
         return _run_baselines_tflags(
             jobs, ps_prior, niter, seed=seed, nchains=nchains,
             write_niter=write_niter, map_estimate=map_estimate,
             store_cr=store_cr, jitter=jitter, engine=engine, solver=solver,
+            warm_ns=warm_ns, drift_max=drift_max,
             verbose=verbose, global_baseline_ids=global_baseline_ids,
             use_mesh=use_mesh, mesh_devices=mesh_devices,
             run_dir=run_dir, checkpoint=checkpoint, resume=resume,
@@ -758,17 +775,28 @@ def _collect(jobs, meta, host_chunks, batch_axis, nchains, store_cr, nfreqs,
 def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                              base_key, *, nchains, write_niter,
                              map_estimate, store_cr, jitter, solver,
-                             verbose, global_baseline_ids=None,
+                             engine="real", warm_ns=0, drift_max=0.6,
+                             verbose=False, global_baseline_ids=None,
                              use_mesh=True, mesh_devices=None,
                              run_dir=None, checkpoint=True, resume=False,
                              process_id=0, num_processes=1):
-    """Real-engine tflags execution: one batched (baseline x chain) run
+    """Batched tflags execution: one batched (baseline x chain) run
     per flag signature. Within a signature the per-time-group operators
     are stacked across rows (rgibbs.stack_chain_operators, same machinery
     as the plain path), and randomness is keyed on global stream ids
     sid = ib * nchains + ic — so results are bit-identical whether
     baselines run together or one at a time (tested in
     tests/test_tflags.py).
+
+    ``engine="megachain"`` runs each signature through the grouped
+    megachain kernel instead of the per-iteration real-pair step: the
+    signature's stacked time-group operators are interleaved into
+    chain-major (chain, group) rows (models/megachain.build_tflags_mega_setup),
+    K iterations execute per Pallas program with in-kernel per-chain PRNG
+    streams on TPU (row streams sid*G+g for omegas, chain streams sid for
+    the pooled bandpower conditional), and samples come back per CHAIN
+    with time rows reassembled — the measured ~5.5x real-engine tflags
+    demotion cost (scripts/probe_tflags_cost.py) eliminated.
 
     Multi-process runs execute each process's local block on its LOCAL
     devices only: tflags signature groups can differ per process, so a
@@ -821,75 +849,141 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             for g in range(len(first))
         ]
         nfreqs = jobs[ibs[0]].d.shape[-1]
-        # pooled-conditional CDF table at alpha + 1 = TOTAL times (each
-        # group's own igt carries its group's alpha — wrong shape for the
-        # pooled prior-bin draw; see tflags.gibbs_step_tflags_real)
-        from .ops.invgamma import make_invgamma_table
-
-        igt_tot = make_invgamma_table(
-            int(sum(int(g.idx.size) for g in groups)))
         gids = (list(global_baseline_ids)
                 if global_baseline_ids is not None else list(range(nbl)))
-        sids = jnp.asarray(
-            np.asarray([gids[ib] * nchains + ic for ib, ic in meta_g],
-                       dtype=np.int32))
-        ps_state = jnp.asarray(
-            np.stack([
-                _initial_ps_host(jobs[ib].S_initial, nfreqs)
-                for ib, _ in meta_g
-            ]),
-            dtype=jnp.float32,
-        )
-
-        # shard the signature batch over the device mesh (same pad +
-        # shard_batch contract as the plain path: dummy rows broadcast
-        # from row 0 and dropped on the host; sids keep the dummy rows'
-        # streams harmless copies of row 0's)
-        if use_mesh and len(mesh_devices or jax.devices()) > 1:
-            dev_mesh = pmesh.make_mesh(mesh_devices)
-            nsh = len(dev_mesh.devices.flat)
-            pad = pmesh.pad_batch(len(meta_g), nsh) - len(meta_g)
-            if pad:
-                def _pad(x):
-                    return jnp.concatenate(
-                        [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])],
-                        axis=0)
-                groups = [
-                    g._replace(ops=jax.tree.map(
-                        _pad, g.ops._replace(f=None, igt=None)
-                    )._replace(f=g.ops.f, igt=g.ops.igt))
-                    for g in groups
-                ]
-                ps_state = _pad(ps_state)
-                sids = _pad(sids)
-            rep = pmesh.replicated_sharding(dev_mesh)
+        sid_host = np.asarray(
+            [gids[ib] * nchains + ic for ib, ic in meta_g], dtype=np.int32)
+        ps_host0 = np.stack([
+            _initial_ps_host(jobs[ib].S_initial, nfreqs)
+            for ib, _ in meta_g
+        ]).astype(np.float32)
+        n_rows = len(meta_g)
+        mesh_on = use_mesh and len(mesh_devices or jax.devices()) > 1
+        dev_mesh = pmesh.make_mesh(mesh_devices) if mesh_on else None
+        nsh = len(dev_mesh.devices.flat) if mesh_on else 1
+        # pad the CHAIN batch to the shard count (same pad + shard_batch
+        # contract as the plain path: dummy rows broadcast from row 0 and
+        # dropped on the host; sids keep the dummy rows' streams harmless
+        # copies of row 0's). Chain-whole padding keeps the grouped
+        # kernel's G-row blocks shard-aligned.
+        pad = pmesh.pad_batch(n_rows, nsh) - n_rows if mesh_on else 0
+        if pad:
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])],
+                    axis=0)
             groups = [
-                g._replace(ops=pmesh.shard_batch(
-                    g.ops._replace(f=None, igt=None), dev_mesh
-                )._replace(
-                    f=jax.device_put(g.ops.f, rep),
-                    igt=jax.tree.map(
-                        lambda x: jax.device_put(x, rep), g.ops.igt),
-                ))
+                g._replace(ops=jax.tree.map(
+                    _pad, g.ops._replace(f=None, igt=None)
+                )._replace(f=g.ops.f, igt=g.ops.igt))
                 for g in groups
             ]
-            ps_state = pmesh.shard_batch(ps_state, dev_mesh)
-            sids = pmesh.shard_batch(sids, dev_mesh)
-            igt_tot = jax.tree.map(
-                lambda x: jax.device_put(x, rep), igt_tot)
+            sid_host = np.concatenate(
+                [sid_host, np.repeat(sid_host[:1], pad)])
+            ps_host0 = np.concatenate(
+                [ps_host0, np.repeat(ps_host0[:1], pad, axis=0)])
 
-        @partial(jax.jit, static_argnames=("n",))
-        def chunk_fn(key, ps, n, _groups=groups, _sids=sids,
-                     _igt=igt_tot):
-            return tflags.run_chain_tflags_real(
-                key, _groups, ps, prior_j, n, map_estimate=map_estimate,
-                jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
-                solver=solver, sids=_sids, igt_total=_igt,
-            )
+        if engine == "megachain":
+            # grouped-kernel execution: interleave the signature's stacked
+            # time-group operators into chain-major (chain, group) rows and
+            # run K iterations per Pallas program. Row PRNG streams (omegas)
+            # are sid*G + g; the pooled bandpower conditional draws from the
+            # chain stream sid — both composition-invariant in the global
+            # (baseline, chain) id.
+            setup = megachain.build_tflags_mega_setup(groups)
+            mops, mdims, group_times, group_idx = setup
+            G = len(group_times)
+            mc_tables = megachain.make_chain_tables(mops)
+            ps_state = jnp.repeat(
+                mega.pad_ps(jnp.asarray(ps_host0), mdims), G, axis=0)
+            sids_row = jnp.asarray(
+                np.repeat(sid_host, G).astype(np.int32) * G
+                + np.tile(np.arange(G, dtype=np.int32), len(sid_host)))
+            sidc_rows = jnp.asarray(np.repeat(sid_host, G))
+            if mesh_on:
+                body, shared = _split_ops(mops, "megachain")
+                body = pmesh.shard_batch(body, dev_mesh)
+                rep = pmesh.replicated_sharding(dev_mesh)
+                shared = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), shared)
+                mops = body._replace(**shared)
+                mc_tables = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), mc_tables)
+                ps_state = pmesh.shard_batch(ps_state, dev_mesh)
+                sids_row = pmesh.shard_batch(sids_row, dev_mesh)
+                sidc_rows = pmesh.shard_batch(sidc_rows, dev_mesh)
+            mc_inkernel = jax.default_backend() == "tpu"
+
+            def chunk_fn(key, ps, n):
+                return megachain.run_chain_megachain(
+                    key, mops, mdims, ps, prior64, n,
+                    sids=sids_row, sidc=sidc_rows, mesh=dev_mesh,
+                    inkernel_rng=mc_inkernel, tables=mc_tables,
+                    store_cr=store_cr, chunk=n,
+                    warm_ns=warm_ns, drift_max=drift_max,
+                    group_times=group_times, group_idx=group_idx,
+                )
+
+            def save_ps(ps):
+                # chain continuation state sits at the group-0 rows
+                return _host(ps, 0)[::G][:n_rows, :nfreqs]
+
+            def load_ck(ckps):
+                x = mega.pad_ps(
+                    jnp.asarray(ckps, dtype=jnp.float32), mdims)
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (pad, x.shape[1]))], 0)
+                x = jnp.repeat(x, G, axis=0)
+                return jax.device_put(x, ps_state.sharding)
+        else:
+            # pooled-conditional CDF table at alpha + 1 = TOTAL times (each
+            # group's own igt carries its group's alpha — wrong shape for
+            # the pooled prior-bin draw; see tflags.gibbs_step_tflags_real)
+            from .ops.invgamma import make_invgamma_table
+
+            igt_tot = make_invgamma_table(
+                int(sum(int(g.idx.size) for g in groups)))
+            sids = jnp.asarray(sid_host)
+            ps_state = jnp.asarray(ps_host0)
+            if mesh_on:
+                rep = pmesh.replicated_sharding(dev_mesh)
+                groups = [
+                    g._replace(ops=pmesh.shard_batch(
+                        g.ops._replace(f=None, igt=None), dev_mesh
+                    )._replace(
+                        f=jax.device_put(g.ops.f, rep),
+                        igt=jax.tree.map(
+                            lambda x: jax.device_put(x, rep), g.ops.igt),
+                    ))
+                    for g in groups
+                ]
+                ps_state = pmesh.shard_batch(ps_state, dev_mesh)
+                sids = pmesh.shard_batch(sids, dev_mesh)
+                igt_tot = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), igt_tot)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def chunk_fn(key, ps, n, _groups=groups, _sids=sids,
+                         _igt=igt_tot):
+                return tflags.run_chain_tflags_real(
+                    key, _groups, ps, prior_j, n, map_estimate=map_estimate,
+                    jitter=jitter, store_cr=store_cr, prior_idx=prior_idx_j,
+                    solver=solver, sids=_sids, igt_total=_igt,
+                )
+
+            def save_ps(ps):
+                return _host(ps, 0)[:n_rows]
+
+            def load_ck(ckps):
+                x = jnp.asarray(ckps, dtype=jnp.float32)
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (pad, nfreqs))], 0)
+                return jax.device_put(x, ps_state.sharding)
 
         # --- resume (per-signature checkpoint tag: signature groups run
         # sequentially, so each carries its own iteration cursor) --------
-        n_rows = len(meta_g)
         start_iter = 0
         prefix = None
         ck_tag = (f"-tf{sig_order.index(sig)}"
@@ -898,6 +992,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             ck = hio.load_checkpoint(run_dir, tag=ck_tag)
             if ck is not None and (
                 ck["ps"].shape == (n_rows, nfreqs)
+                and ck["extra"].get("engine", engine) == engine
                 and ck["extra"].get("nchains", nchains) == nchains
             ):
                 prefix = _load_prefix(
@@ -905,14 +1000,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                 )
                 if prefix is not None:
                     start_iter = ck["iteration"]
-                    ckps = jnp.asarray(ck["ps"], dtype=ps_state.dtype)
-                    npad = ps_state.shape[0] - n_rows
-                    if npad:
-                        ckps = jnp.concatenate(
-                            [ckps,
-                             jnp.broadcast_to(
-                                 ckps[:1], (npad, nfreqs))], 0)
-                    ps_state = jax.device_put(ckps, ps_state.sharding)
+                    ps_state = load_ck(ck["ps"])
                     if verbose:
                         print(f"[tflags] resuming group {ck_tag} from "
                               f"iteration {start_iter}")
@@ -926,7 +1014,7 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
             chunk_key = jax.random.fold_in(base_key, 1_000_000 + done)
             ps_state, samples = chunk_fn(chunk_key, ps_state, n)
             host_chunks.append(
-                _to_host(samples, "real", store_cr, 1, n_rows)
+                _to_host(samples, engine, store_cr, 1, n_rows)
             )
             done += n
             if verbose:
@@ -939,11 +1027,10 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
                        nfreqs, prefix, row_sec=row_write_sec)
                 write_time += time.perf_counter() - t0
                 if checkpoint and run_dir is not None:
-                    ps_host = _host(ps_state, 0)[:n_rows]
                     hio.save_checkpoint(
-                        run_dir, iteration=done, ps=ps_host,
+                        run_dir, iteration=done, ps=save_ps(ps_state),
                         key_data=jax.random.key_data(base_key),
-                        extra={"engine": "real", "nchains": nchains,
+                        extra={"engine": engine, "nchains": nchains,
                                "tflags": True},
                         tag=ck_tag,
                     )
@@ -971,25 +1058,29 @@ def _run_tflags_real_batched(jobs, flags_of, prior64, prior_idx_j, niter,
         "niter": niter,
         "start_iter": min(start_iters) if start_iters else 0,
         "batch": nbl * nchains,
-        "engine": "real",
+        "engine": engine,
     }
     return results, timings
 
 
 def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                           write_niter, map_estimate, store_cr, jitter,
-                          engine, solver, verbose,
+                          engine, solver, warm_ns=0, drift_max=0.6,
+                          verbose=False,
                           global_baseline_ids=None, use_mesh=True,
                           mesh_devices=None, run_dir=None, checkpoint=True,
                           resume=False, process_id=0, num_processes=1):
     """Grouped time-dependent-flags path (models/tflags.py). On the real
-    (production) engine, baselines sharing a flag SIGNATURE — identical
+    and megachain engines, baselines sharing a flag SIGNATURE — identical
     (Ntimes, Nfreqs) flag arrays, hence identical time-group structure —
     are batched into one (baseline x chain) run with per-row
     composition-invariant PRNG streams (sids), so the replicated scaling
     fixture and real arrays with a common RFI mask scale like the plain
     path instead of a per-baseline Python loop. Distinct signatures run as
-    separate batched groups. The complex engine keeps the per-baseline
+    separate batched groups. The megachain engine executes each signature
+    with the grouped kernel (models/megachain.TflagsMegaSetup: chain-major
+    (chain, time-group) rows, pooled bandpower conditional) — tflags at
+    full megachain speed. The complex engine keeps the per-baseline
     loop (x64 correctness tier). The reference collapses time-dependent
     flags entirely (run-hydra-pspec.py:541 FIXME)."""
     from .models import tflags
@@ -1004,12 +1095,13 @@ def _run_baselines_tflags(jobs, ps_prior, niter, *, seed, nchains,
                 if job.flags_tf is not None
                 else np.zeros(job.d.shape, dtype=bool))
 
-    if engine == "real":
+    if engine in ("real", "megachain"):
         return _run_tflags_real_batched(
             jobs, _flags_of, prior64, prior_idx_j, niter, base_key,
             nchains=nchains, write_niter=write_niter,
             map_estimate=map_estimate, store_cr=store_cr, jitter=jitter,
-            solver=solver, verbose=verbose,
+            solver=solver, engine=engine,
+            warm_ns=warm_ns, drift_max=drift_max, verbose=verbose,
             global_baseline_ids=global_baseline_ids, use_mesh=use_mesh,
             mesh_devices=mesh_devices, run_dir=run_dir,
             checkpoint=checkpoint, resume=resume,

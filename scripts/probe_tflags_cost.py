@@ -103,13 +103,17 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     out = {"B": B, "niter": NITER, "backend": jax.default_backend()}
     for name, engine, tf in (("plain_real", "real", False),
-                             ("tflags_real_2sig", "auto", True)):
+                             ("tflags_real_2sig", "real", True),
+                             ("tflags_megachain_2sig", "megachain", True)):
         print(f"[probe] timing {name}...", file=sys.stderr)
         out[name] = timed(engine, tf)
         print(f"[probe] {name}: {out[name]}", file=sys.stderr)
     out["tflags_over_plain_real"] = round(
         out["tflags_real_2sig"]["ms_per_iter"]
         / out["plain_real"]["ms_per_iter"], 2)
+    out["tflags_megachain_speedup_vs_real"] = round(
+        out["tflags_real_2sig"]["ms_per_iter"]
+        / out["tflags_megachain_2sig"]["ms_per_iter"], 2)
     print(json.dumps(out))
 
 

@@ -298,3 +298,91 @@ def test_tflags_real_engine_uses_pooled_alpha_table():
     # materially different value — i.e. the old wiring was a real bug
     assert abs(float(ps_wrong[5]) - float(ps_right[5])) > 1e-3 * abs(
         float(ps_right[5]))
+
+
+# --- runner wiring (round 5: megachain engine runs tflags directly) ------
+
+def _tflag_jobs(nbl=2, ntimes=10, nfreqs=16, out_root=None):
+    """Baselines sharing one flag signature (2 time groups)."""
+    from hydra_pspec_tpu.runner import BaselineJob
+
+    flags = np.zeros((ntimes, nfreqs), dtype=bool)
+    flags[6:, 3] = True
+    jobs = []
+    for ib in range(nbl):
+        d = crandn(ntimes, nfreqs) * 2.0
+        jobs.append(BaselineJob(
+            antpair=(ib, ib + 1), d=d, w=np.ones(nfreqs),
+            fgmodes=crandn(nfreqs, 2), S_initial=np.eye(nfreqs),
+            Ninv=np.abs(RNG.standard_normal(nfreqs)) + 1.0,
+            out_dir=None if out_root is None
+            else out_root / f"{ib}-{ib + 1}",
+            flags_tf=flags,
+        ))
+    return jobs
+
+
+def test_runner_tflags_megachain_mesh_matches_single_device():
+    """The grouped megachain runner path is bit-identical with and without
+    the device mesh (chain-whole padding keeps G-row pooling blocks
+    shard-aligned; per-chain external streams are keyed on global sids)."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    jobs = _tflag_jobs(nbl=2)
+    prior = np.zeros((2, 16))
+    kw = dict(seed=11, nchains=2, write_niter=4, engine="megachain")
+    res_plain, t_plain = run_baselines(jobs, prior, 4, use_mesh=False, **kw)
+    res_mesh, t_mesh = run_baselines(jobs, prior, 4, use_mesh=True, **kw)
+    assert t_plain["engine"] == t_mesh["engine"] == "megachain"
+    assert len(res_plain) == len(res_mesh) == 4
+    for a, b in zip(res_plain, res_mesh):
+        np.testing.assert_array_equal(a.signal_ps, b.signal_ps)
+        np.testing.assert_array_equal(a.signal_cr, b.signal_cr)
+        np.testing.assert_array_equal(a.chisq, b.chisq)
+
+
+def test_runner_tflags_megachain_batch_composition_invariant():
+    """A baseline's chains are bit-identical whether it runs alone or
+    batched with another baseline (global sids key every stream: row
+    streams sid*G+g, chain streams sid)."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    jobs = _tflag_jobs(nbl=2)
+    prior = np.zeros((2, 16))
+    kw = dict(seed=7, nchains=2, write_niter=3, engine="megachain",
+              use_mesh=False)
+    both, _ = run_baselines(jobs, prior, 3, **kw)
+    solo, _ = run_baselines([jobs[1]], prior, 3,
+                            global_baseline_ids=[1],
+                            n_global_baselines=2, **kw)
+    for ic in range(2):
+        np.testing.assert_array_equal(
+            both[2 + ic].signal_ps, solo[ic].signal_ps)
+        np.testing.assert_array_equal(
+            both[2 + ic].signal_cr, solo[ic].signal_cr)
+
+
+def test_runner_tflags_megachain_resume_bitexact(tmp_path):
+    """checkpoint + resume through the grouped megachain path yields the
+    same complete output files as an uninterrupted run (chunk keys are
+    absolute-iteration folds; the ps carry state round-trips through the
+    chain-rows <-> per-chain checkpoint layout)."""
+    from hydra_pspec_tpu.runner import run_baselines
+
+    prior = np.zeros((2, 16))
+    kw = dict(seed=5, nchains=1, write_niter=2, engine="megachain",
+              use_mesh=False)
+
+    jobs_a = _tflag_jobs(nbl=1, out_root=tmp_path / "straight")
+    run_baselines(jobs_a, prior, 4, run_dir=tmp_path / "straight", **kw)
+
+    jobs_b = _tflag_jobs(nbl=1, out_root=tmp_path / "resumed")
+    run_baselines(jobs_b, prior, 2, run_dir=tmp_path / "resumed", **kw)
+    run_baselines(jobs_b, prior, 4, run_dir=tmp_path / "resumed",
+                  resume=True, **kw)
+
+    for f in ("dps-eor.npy", "signal-cr.npy", "chisq.npy"):
+        a = np.load(tmp_path / "straight" / "0-1" / f)
+        b = np.load(tmp_path / "resumed" / "0-1" / f)
+        assert a.shape[0] == 4
+        np.testing.assert_array_equal(a, b)

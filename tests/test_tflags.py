@@ -110,13 +110,14 @@ def test_real_engine_grouped_matches_complex():
     assert np.abs(got - want).max() / denom < 5e-4
 
 
-@pytest.mark.parametrize("engine", ["complex", "real", "megachain"])
+@pytest.mark.parametrize("engine", ["complex", "real", "mega", "megachain"])
 def test_runner_tflags_path(engine, tmp_path):
     """run_baselines dispatches jobs carrying flags_tf through the grouped
-    path and writes complete reference-named outputs. The mega family must
-    route to the REAL grouped path (the tflags runner only distinguishes
-    real vs complex; demoting megachain to 'mega' used to fall into the
-    x64 complex branch the TPU backend cannot run)."""
+    path and writes complete reference-named outputs. The mega engine
+    routes to the REAL grouped path (only megachain has a grouped kernel;
+    demoting to 'mega' used to fall into the x64 complex branch the TPU
+    backend cannot run); megachain runs the grouped kernel DIRECTLY
+    (interpret mode off-TPU)."""
     from hydra_pspec_tpu.runner import BaselineJob, run_baselines
 
     d, flags, fg, ninv, _ = make_problem(ntimes=12)
@@ -131,8 +132,10 @@ def test_runner_tflags_path(engine, tmp_path):
         engine=engine, use_mesh=False,
     )
     assert len(results) == 1
-    if engine == "megachain":
+    if engine == "mega":
         assert timings["engine"] == "real"
+    if engine == "megachain":
+        assert timings["engine"] == "megachain"
     r = results[0]
     assert r.signal_ps.shape == (niter, d.shape[1])
     assert r.signal_cr.shape == (niter,) + d.shape
